@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes each implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` carries the exact
+DuckDB-ANSI-SQL twin. The flagship pipeline operates on a transcripts table
+derived *deterministically* from the driver's ``events`` parquet (see
+open_telemetry_opentelemetry_collector_contrib_spark/datagen.py) with
+expressions that evaluate identically in Spark and DuckDB, so every stage is
+value-hash checkable.
+
+Timestamps are surfaced as epoch-second BIGINTs in compared outputs to avoid
+engine-specific timestamp rendering in the hash.
 """
 
 from __future__ import annotations
@@ -12,27 +17,175 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_telemetry_opentelemetry_collector_contrib_spark import datagen
+from open_telemetry_opentelemetry_collector_contrib_spark.plans import pipeline
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+PARSE_COLS = [
+    "conv_id",
+    "turn_idx",
+    "role",
+    "tool",
+    "level",
+    "action",
+    "latency_ms",
+    "status",
+    "msg",
+    "prop_k",
+    "parse_ok",
+]
+
+ENRICH_COLS = [
+    "conv_id",
+    "turn_idx",
+    "role",
+    "role_kind",
+    "is_human",
+    "priority",
+    "tool",
+    "tool_category",
+    "tool_owner",
+    "pipeline_tag",
+]
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = datagen.transcripts(spark, sf_dir)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+def q_pipeline_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.parsed(spark, sf_dir).select(*PARSE_COLS)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def q_pipeline_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.enriched(spark, sf_dir).select(*ENRICH_COLS)
+
+
+def q_pipeline_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.routed(spark, sf_dir).select("conv_id", "turn_idx", "route")
+
+
+def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.sink_counts(spark, sf_dir)
+
+
+def q_pipeline_sum_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators import (
+        aggregate as agg_ops,
+    )
+
+    return agg_ops.windowed_sum(
+        pipeline.routed(spark, sf_dir),
+        keys=["route", "role"],
+        source_col="latency_ms",
+        window_s=pipeline.WINDOW_S,
+        condition=F.col("latency_ms").isNotNull(),
+        sum_col="total_latency_ms",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (shares the transcripts CTE with the Spark side)
+# ---------------------------------------------------------------------------
+
+_PREFIX = datagen.duckdb_cte_prefix()
+
+_PARSED_CTE = r"""
+, parsed AS (
+  SELECT conv_id, turn_idx, role, tool, ts,
+    nullif(regexp_extract(text, '^(INFO|ERROR|WARN|DEBUG) ', 1), '') AS level,
+    nullif(regexp_extract(text, 'action=([a-z_]+)', 1), '') AS action,
+    CAST(nullif(regexp_extract(text, 'latency_ms=([0-9]+)', 1), '') AS BIGINT) AS latency_ms,
+    nullif(regexp_extract(text, 'status=([a-z]+)', 1), '') AS status,
+    nullif(regexp_extract(text, 'msg="([^"]*)"', 1), '') AS msg,
+    CAST(json_extract_string(nullif(regexp_extract(text, 'props=(\{.*\})$', 1), ''), '$.k') AS BIGINT) AS prop_k,
+    nullif(regexp_extract(text, '^(INFO|ERROR|WARN|DEBUG) ', 1), '') IS NOT NULL AS parse_ok
+  FROM transcripts_cte
+)
+"""
+
+_ENRICHED_CTE = (
+    _PARSED_CTE
+    + f"""
+, enriched AS (
+  SELECT p.*, rd.role_kind, rd.is_human, rd.priority,
+         coalesce(td.tool_category, 'unknown') AS tool_category,
+         coalesce(td.tool_owner, 'unknown') AS tool_owner,
+         'otelcol-spark' AS pipeline_tag
+  FROM parsed p
+  LEFT JOIN {datagen.role_dim_values_sql().replace('__t', 'rd')} ON p.role = rd.role
+  LEFT JOIN {datagen.tool_dim_values_sql().replace('__t', 'td')} ON p.tool = td.tool
+)
+"""
+)
+
+_ROUTED_CTE = (
+    _ENRICHED_CTE
+    + """
+, routed AS (
+  SELECT *,
+    CASE WHEN level = 'ERROR' OR status = 'err' THEN 'errors'
+         WHEN role = 'tool' AND tool <> '' THEN 'tool_calls'
+         WHEN is_human THEN 'human'
+         ELSE 'default' END AS route
+  FROM enriched
+)
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "transcripts": _PREFIX
+        + "SELECT conv_id, turn_idx, role, text, tool, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM transcripts_cte",
+        "pipeline_parse": _PREFIX
+        + _PARSED_CTE
+        + f"SELECT {', '.join(PARSE_COLS)} FROM parsed",
+        "pipeline_enrich": _PREFIX
+        + _ENRICHED_CTE
+        + f"SELECT {', '.join(ENRICH_COLS)} FROM enriched",
+        "pipeline_route": _PREFIX
+        + _ROUTED_CTE
+        + "SELECT conv_id, turn_idx, route FROM routed",
+        "pipeline_sink_counts": _PREFIX
+        + _ROUTED_CTE
+        + f"""
+SELECT CAST(floor(epoch(ts) / {pipeline.WINDOW_S}) AS BIGINT) AS window_id,
+       route, conv_id, role, tool, count(*) AS n
+FROM routed GROUP BY 1, 2, 3, 4, 5""",
+        "pipeline_sum_latency": _PREFIX
+        + _ROUTED_CTE
+        + f"""
+SELECT CAST(floor(epoch(ts) / {pipeline.WINDOW_S}) AS BIGINT) AS window_id,
+       route, role, CAST(sum(latency_ms) AS BIGINT) AS total_latency_ms
+FROM routed WHERE latency_ms IS NOT NULL GROUP BY 1, 2, 3""",
+    }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "transcripts": q_transcripts,
+        "pipeline_parse": q_pipeline_parse,
+        "pipeline_enrich": q_pipeline_enrich,
+        "pipeline_route": q_pipeline_route,
+        "pipeline_sink_counts": q_pipeline_sink_counts,
+        "pipeline_sum_latency": q_pipeline_sum_latency,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full parse→enrich→route→aggregate over sf0.001."""
+    return pipeline.sink_counts(spark, "/root/testdata/sf0.001")
