@@ -1,0 +1,86 @@
+"""Grok pattern -> regex compilation.
+
+The reference's ``ExtractGrokPatterns`` uses elastic/go-grok with its default
+pattern library (`pkg/ottl/ottlfuncs/func_extract_grok_patterns.go:17-22`).
+This module re-implements the %{NAME} / %{NAME:alias} expansion over a core
+subset of the public grok base patterns, producing a plain regex with named
+capture groups that runs JVM-side via regexp_extract (or inside a vectorized
+pandas UDF for single-pass many-group extraction — see
+operators/parse.py:grok_parse_pandas).
+"""
+
+from __future__ import annotations
+
+import re
+
+# Core grok base patterns (public logstash/elastic pattern definitions)
+BASE_PATTERNS: dict[str, str] = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?(?:[0-9]+)",
+    "NONNEGINT": r"\b[0-9]+\b",
+    "POSINT": r"\b[1-9][0-9]*\b",
+    "NUMBER": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?)",
+    "BASE10NUM": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?)",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "EMAILLOCALPART": r"[a-zA-Z0-9!#$%&'*+\-/=?^_`{|}~]{1,64}(?:\.[a-zA-Z0-9!#$%&'*+\-/=?^_`{|}~]{1,62}){0,63}",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "IPV4": r"(?:25[0-5]|2[0-4][0-9]|[0-1]?[0-9]{1,2})(?:\.(?:25[0-5]|2[0-4][0-9]|[0-1]?[0-9]{1,2})){3}",
+    "IP": r"(?:25[0-5]|2[0-4][0-9]|[0-1]?[0-9]{1,2})(?:\.(?:25[0-5]|2[0-4][0-9]|[0-1]?[0-9]{1,2})){3}",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo?(?:rmation)?|INFO?(?:RMATION)?|[Ww]arn?(?:ing)?|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit?(?:ical)?|CRIT?(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    "TIMESTAMP_ISO8601": r"(?:\d\d){1,2}-(?:0[1-9]|1[0-2])-(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])[T ](?:2[0123]|[01]?[0-9]):?(?:[0-5][0-9])(?::?(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?))?(?:Z|[+-](?:2[0123]|[01]?[0-9])(?::?(?:[0-5][0-9])))?",
+    "SYSLOGTIMESTAMP": r"(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?) +(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9]) (?:2[0123]|[01]?[0-9]):(?:[0-5][0-9])(?::(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?))?",
+    "QUOTEDSTRING": r"(?:\"(?:\\.|[^\\\"])*\")",
+    "URIPROTO": r"[A-Za-z][A-Za-z0-9+\-.]+",
+    "PATH": r"(?:/[\w_%!$@:.,+~-]*)+",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?\}")
+
+
+class GrokError(ValueError):
+    pass
+
+
+def _sanitize_name(name: str) -> str:
+    """Java named groups allow only [A-Za-z][A-Za-z0-9]*; grok aliases may
+    contain dots — map them reversibly to a safe token."""
+    return re.sub(r"[^A-Za-z0-9]", "0", name)
+
+
+def grok_to_regex(
+    pattern: str,
+    named_captures_only: bool = True,
+    pattern_definitions: dict[str, str] | None = None,
+    _depth: int = 0,
+) -> str:
+    """Expand %{NAME}/%{NAME:alias} references into a named-group regex."""
+    if _depth > 20:
+        raise GrokError("grok pattern recursion too deep")
+    defs = dict(BASE_PATTERNS)
+    if pattern_definitions:
+        defs.update(pattern_definitions)
+
+    def repl(m: re.Match) -> str:
+        name, alias = m.group(1), m.group(2)
+        if name not in defs:
+            raise GrokError(f"unknown grok pattern %{{{name}}}")
+        body = grok_to_regex(defs[name], named_captures_only, pattern_definitions, _depth + 1)
+        if alias:
+            return f"(?P<{_sanitize_name(alias)}>{body})"
+        if named_captures_only:
+            return f"(?:{body})"
+        return f"(?P<{_sanitize_name(name)}>{body})"
+
+    return _GROK_REF.sub(repl, pattern)
+
+
+def grok_group_names(pattern: str, **kw) -> list[str]:
+    regex = grok_to_regex(pattern, **kw)
+    return re.findall(r"\(\?P<([A-Za-z0-9]+)>", regex)

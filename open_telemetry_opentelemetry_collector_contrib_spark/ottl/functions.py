@@ -1,0 +1,503 @@
+"""OTTL function registry: editors + converters compiled to Columns.
+
+Registry shape mirrors the reference's factory map
+(`pkg/ottl/ottlfuncs/functions.go:11-105`): editors are lowercase mutators,
+converters are uppercase pure functions. Each entry here is a builder that
+receives compiled argument columns and returns a Column (converters) or a
+transformed DataFrame (editors). Signatures follow each function's
+``Arguments`` struct (`pkg/ottl/ottlfuncs/func_<name>.go`).
+
+Divergences (documented):
+- ``FNV`` maps to xxhash64 — deterministic 64-bit hash, different constant
+  than Go's FNV (values differ from the reference, semantics identical).
+- ``ConvertCase`` camel mode approximates Go strcase for multi-rune edge
+  cases.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .ast import FuncCall, Literal, Path
+from .compiler import LogContext, OTTLCompileError, TypedCol, compile_bool, compile_value
+
+# ---------------------------------------------------------------------------
+# Enums (severity symbol table, `pkg/ottl/contexts/ottllog/log.go:156-182`)
+# ---------------------------------------------------------------------------
+
+ENUMS: dict[str, int] = {"SEVERITY_NUMBER_UNSPECIFIED": 0}
+for _i, _name in enumerate(("TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL")):
+    base = _i * 4 + 1
+    ENUMS[f"SEVERITY_NUMBER_{_name}"] = base
+    for _j in (2, 3, 4):
+        ENUMS[f"SEVERITY_NUMBER_{_name}{_j}"] = base + _j - 1
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _lit_of(node, what: str):
+    if isinstance(node, Literal):
+        return node.value
+    raise OTTLCompileError(f"{what} must be a literal, got {node!r}")
+
+
+def _glob_to_like(glob: str) -> str:
+    out = glob.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+    return out.replace("*", "%").replace("?", "_")
+
+
+_DUR_RE = re.compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
+_DUR_UNIT = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0}
+
+
+def parse_go_duration(s: str) -> float:
+    """Go time.ParseDuration subset -> seconds (float)."""
+    matches = _DUR_RE.findall(s)
+    if not matches or "".join(f"{n}{u}" for n, u in matches) != s.lstrip("+-"):
+        raise OTTLCompileError(f"bad duration literal {s!r}")
+    sec = sum(float(n) * _DUR_UNIT[u] for n, u in matches)
+    return -sec if s.startswith("-") else sec
+
+
+_STRPTIME_TO_JAVA = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%j": "DDD",
+    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS",
+    "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE", "%p": "a",
+    "%z": "XX", "%Z": "zz", "%%": "%",
+}
+
+
+def strptime_to_java(fmt: str) -> str:
+    """ctime/strptime directives -> Java SimpleDateFormat pattern
+    (reference uses strptime layouts, `pkg/stanza/operator/helper/time.go:39-46`)."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            d = fmt[i : i + 2]
+            if d not in _STRPTIME_TO_JAVA:
+                raise OTTLCompileError(f"unsupported strptime directive {d}")
+            out.append(_STRPTIME_TO_JAVA[d])
+            i += 2
+        elif fmt[i].isalpha():
+            out.append(f"'{fmt[i]}'")
+            i += 1
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+_NAMED_GROUP_RE = re.compile(r"\(\?P?<([a-zA-Z_][a-zA-Z0-9_]*)>")
+
+
+def _to_java_regex(pattern: str) -> str:
+    """Go (RE2) named groups (?P<n>...) -> Java (?<n>...)."""
+    return pattern.replace("(?P<", "(?<")
+
+
+def extract_patterns_cols(text: Column, pattern: str) -> dict[str, Column]:
+    """Named capture groups -> {name: extracted col} using group indexes.
+
+    Stays JVM-side (one regexp_extract per group); Catalyst subexpression
+    elimination shares the match work within a projection.
+    """
+    names = _NAMED_GROUP_RE.findall(pattern)
+    if not names:
+        raise OTTLCompileError("ExtractPatterns requires named capture groups")
+    # group index = position among ALL capture groups
+    idx = {}
+    gi = 0
+    for m in re.finditer(r"(?<!\\)\((?!\?:)(\?P?<([a-zA-Z_][a-zA-Z0-9_]*)>)?", pattern):
+        gi += 1
+        if m.group(2):
+            idx[m.group(2)] = gi
+    jpat = _to_java_regex(pattern)
+    return {n: F.regexp_extract(text, jpat, idx[n]) for n in names}
+
+
+# ---------------------------------------------------------------------------
+# Converters
+# ---------------------------------------------------------------------------
+
+
+def _conv_len(a: TypedCol) -> TypedCol:
+    if a.t == "string":
+        return TypedCol(F.length(a.col).cast("long"), "int")
+    if a.t in ("slice", "map"):
+        return TypedCol(F.size(a.col).cast("long"), "int")
+    return TypedCol(F.coalesce(F.length(a.col.cast("string")).cast("long"), F.size(a.col)), "int")
+
+
+def _conv_convert_case(a: TypedCol, case: str) -> TypedCol:
+    c = a.col
+    if case == "lower":
+        return TypedCol(F.lower(c), "string")
+    if case == "upper":
+        return TypedCol(F.upper(c), "string")
+    if case == "snake":
+        s = F.regexp_replace(c, r"([a-z0-9])([A-Z])", r"$1_$2")
+        s = F.regexp_replace(s, r"[\s-]+", "_")
+        return TypedCol(F.lower(s), "string")
+    if case == "camel":
+        s = F.regexp_replace(c, r"[_\s-]+", " ")
+        s = F.regexp_replace(F.initcap(s), r" ", "")
+        return TypedCol(s, "string")
+    raise OTTLCompileError(f"ConvertCase: unknown case {case!r}")
+
+
+def _is_type(a: TypedCol, t: str) -> TypedCol:
+    if a.t == "any":
+        raise OTTLCompileError(f"Is{t} on dynamically-typed value unsupported on typed frames")
+    match = {"Bool": "bool", "Int": "int", "Double": "float", "String": "string",
+             "Map": "map", "List": "slice"}[t]
+    return TypedCol(F.when(a.col.isNull(), F.lit(False)).otherwise(F.lit(a.t == match)), "bool")
+
+
+def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
+    name = call.name
+    args = list(call.args)
+    named = dict(call.named)
+
+    def val(i: int) -> TypedCol:
+        return compile_value(args[i], ctx)
+
+    if name == "Int":
+        return TypedCol(val(0).col.cast("long"), "int")
+    if name == "Double":
+        return TypedCol(val(0).col.cast("double"), "float")
+    if name == "String":
+        a = val(0)
+        if a.t == "time":
+            return TypedCol(F.date_format(a.col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"), "string")
+        return TypedCol(a.col.cast("string"), "string")
+    if name in ("IsBool", "IsInt", "IsDouble", "IsString", "IsMap", "IsList"):
+        return _is_type(val(0), name[2:])
+    if name == "Concat":
+        delim = _lit_of(args[1], "Concat delimiter")
+        items = compile_value(args[0], ctx)
+        if isinstance(args[0], FuncCall) and args[0].name == "__list__":
+            cols = [compile_value(a, ctx).col.cast("string") for a in args[0].args]
+            return TypedCol(F.concat_ws(delim, *cols), "string")
+        return TypedCol(F.concat_ws(delim, items.col), "string")
+    if name == "ConvertCase":
+        return _conv_convert_case(val(0), _lit_of(args[1], "ConvertCase case"))
+    if name == "Split":
+        delim = _lit_of(args[1], "Split delimiter")
+        return TypedCol(F.split(val(0).col, re.escape(delim)), "slice")
+    if name == "Substring":
+        start = _lit_of(args[1], "Substring start")
+        length = _lit_of(args[2], "Substring length")
+        return TypedCol(F.substring(val(0).col, start + 1, length), "string")
+    if name == "Format":
+        fmt = _lit_of(args[0], "Format string")
+        cols = [compile_value(a, ctx).col for a in args[1].args] if len(args) > 1 else []
+        return TypedCol(F.format_string(fmt, *cols), "string")
+    if name == "Len":
+        return _conv_len(val(0))
+    if name == "Log":
+        return TypedCol(F.log(val(0).col.cast("double")), "float")
+    if name == "IsMatch":
+        pattern = _lit_of(args[1], "IsMatch pattern")
+        return TypedCol(val(0).col.cast("string").rlike(_to_java_regex(pattern)), "bool")
+    if name == "ExtractPatterns":
+        pattern = _lit_of(args[1], "ExtractPatterns pattern")
+        cols = extract_patterns_cols(val(0).col.cast("string"), pattern)
+        entries = [
+            F.when(c != "", F.struct(F.lit(n).alias("key"), c.alias("value")))
+            for n, c in cols.items()
+        ]
+        arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
+        return TypedCol(F.map_from_entries(arr), "map")
+    if name == "ExtractGrokPatterns":
+        from ..functions.grok import grok_to_regex
+
+        pattern = _lit_of(args[1], "grok pattern")
+        only_named = bool(named.get("namedCapturesOnly", Literal(True, "bool")).value) if isinstance(named.get("namedCapturesOnly"), Literal) else True
+        regex = grok_to_regex(pattern, named_captures_only=only_named)
+        cols = extract_patterns_cols(val(0).col.cast("string"), regex)
+        entries = [
+            F.when(c != "", F.struct(F.lit(n).alias("key"), c.alias("value")))
+            for n, c in cols.items()
+        ]
+        arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
+        return TypedCol(F.map_from_entries(arr), "map")
+    if name == "ParseJSON":
+        return TypedCol(F.from_json(val(0).col, "map<string,string>"), "map")
+    if name == "ParseKeyValue":
+        delim = _lit_of(args[1], "kv delim") if len(args) > 1 else "="
+        pair = _lit_of(args[2], "pair delim") if len(args) > 2 else " "
+        return TypedCol(
+            F.str_to_map(F.trim(val(0).col), F.lit(re.escape(pair)), F.lit(re.escape(delim))),
+            "map",
+        )
+    if name == "ParseCSV":
+        header = _lit_of(args[1], "ParseCSV header")
+        delim = dict(call.named).get("delimiter")
+        d = _lit_of(delim, "delimiter") if delim is not None else ","
+        fields = header.split(d)
+        parts = F.split(val(0).col, re.escape(d))
+        pairs = [F.struct(F.lit(f).alias("key"), F.element_at(parts, i + 1).alias("value")) for i, f in enumerate(fields)]
+        return TypedCol(F.map_from_entries(F.array(*pairs)), "map")
+    if name == "MD5":
+        return TypedCol(F.md5(val(0).col.cast("string")), "string")
+    if name == "SHA1":
+        return TypedCol(F.sha1(val(0).col.cast("string")), "string")
+    if name == "SHA256":
+        return TypedCol(F.sha2(val(0).col.cast("string"), 256), "string")
+    if name == "SHA512":
+        return TypedCol(F.sha2(val(0).col.cast("string"), 512), "string")
+    if name == "FNV":
+        return TypedCol(F.xxhash64(val(0).col.cast("string")), "int")
+    if name == "Hex":
+        a = val(0)
+        h = F.lower(F.hex(a.col))
+        if a.t == "int":
+            # reference hex-encodes the full 8-byte int64 (func_hex.go)
+            h = F.lpad(h, 16, "0")
+        return TypedCol(h, "string")
+    if name == "Base64Decode":
+        return TypedCol(F.unbase64(val(0).col).cast("string"), "string")
+    if name == "Time":
+        fmt = strptime_to_java(_lit_of(args[1], "Time format"))
+        return TypedCol(F.to_timestamp(val(0).col, fmt), "time")
+    if name == "TruncateTime":
+        dur = parse_go_duration(_lit_of(args[1], "TruncateTime duration"))
+        sec = int(dur)
+        t = val(0).col
+        return TypedCol(
+            F.timestamp_seconds((F.unix_timestamp(t) / sec).cast("long") * sec), "time"
+        )
+    if name == "Duration":
+        return TypedCol(F.lit(parse_go_duration(_lit_of(args[0], "Duration"))), "duration")
+    if name == "Now":
+        return TypedCol(F.current_timestamp(), "time")
+    if name == "UnixSeconds":
+        return TypedCol(F.unix_timestamp(val(0).col), "int")
+    if name == "UnixMilli":
+        return TypedCol((val(0).col.cast("double") * 1000).cast("long"), "int")
+    if name == "UnixMicro":
+        return TypedCol((val(0).col.cast("double") * 1e6).cast("long"), "int")
+    if name == "UnixNano":
+        return TypedCol((val(0).col.cast("double") * 1e9).cast("long"), "int")
+    if name == "Unix":
+        return TypedCol(F.timestamp_seconds(val(0).col), "time")
+    if name in ("Year", "Month", "Day", "Hour", "Minute"):
+        fn = {"Year": F.year, "Month": F.month, "Day": F.dayofmonth, "Hour": F.hour, "Minute": F.minute}[name]
+        return TypedCol(fn(val(0).col).cast("long"), "int")
+    if name == "Seconds":
+        return TypedCol(val(0).col.cast("double"), "float")
+    if name == "Milliseconds":
+        return TypedCol(val(0).col.cast("double") * 1000, "float")
+    if name == "Microseconds":
+        return TypedCol(val(0).col.cast("double") * 1e6, "float")
+    if name == "Nanoseconds":
+        return TypedCol(val(0).col.cast("double") * 1e9, "float")
+    if name == "Sort":
+        order = _lit_of(args[1], "Sort order") if len(args) > 1 else "asc"
+        return TypedCol(F.sort_array(val(0).col, asc=(order == "asc")), "slice")
+    if name == "UUID":
+        return TypedCol(F.expr("uuid()"), "string")
+    if name == "URL":
+        u = val(0).col
+        pairs = [
+            ("url.original", u),
+            ("url.scheme", F.parse_url(u, F.lit("PROTOCOL"))),
+            ("url.domain", F.parse_url(u, F.lit("HOST"))),
+            ("url.path", F.parse_url(u, F.lit("PATH"))),
+            ("url.query", F.parse_url(u, F.lit("QUERY"))),
+        ]
+        entries = [
+            F.when(c.isNotNull(), F.struct(F.lit(k).alias("key"), c.alias("value")))
+            for k, c in pairs
+        ]
+        return TypedCol(
+            F.map_from_entries(F.filter(F.array(*entries), lambda x: x.isNotNull())), "map"
+        )
+    raise OTTLCompileError(f"unknown converter {name}")
+
+
+# ---------------------------------------------------------------------------
+# Editors
+# ---------------------------------------------------------------------------
+
+
+def _guarded(new: Column, old: Column, cond: Column | None) -> Column:
+    if cond is None:
+        return new
+    return F.when(cond, new).otherwise(old)
+
+
+def _map_set(m: Column, key: str, v: Column) -> Column:
+    cleaned = F.map_filter(m, lambda k, _: k != key)
+    return F.map_concat(cleaned, F.map_from_arrays(F.array(F.lit(key)), F.array(v.cast("string"))))
+
+
+def call_editor(df: DataFrame, call: FuncCall, ctx: LogContext, cond: Column | None) -> DataFrame:
+    name = call.name
+    args = list(call.args)
+
+    def val(i: int) -> TypedCol:
+        return compile_value(args[i], ctx)
+
+    if name == "set":
+        target = args[0]
+        if not isinstance(target, Path):
+            raise OTTLCompileError("set target must be a path")
+        value = val(1)
+        kind, key = ctx.target_kind(target)
+        if kind == "column":
+            old = F.col(key) if key in ctx.schema else F.lit(None)
+            # set is a no-op when the value resolves to nil (func_set.go)
+            new = F.when(value.col.isNotNull(), value.col).otherwise(old)
+            return df.withColumn(key, _guarded(new, old, cond))
+        map_col, map_key = key.split(":", 1)
+        old = F.col(map_col)
+        new = F.when(value.col.isNotNull(), _map_set(old, map_key, value.col)).otherwise(old)
+        return df.withColumn(map_col, _guarded(new, old, cond))
+
+    if name in ("delete_key", "delete_matching_keys", "keep_keys", "keep_matching_keys"):
+        target = args[0]
+        kind, key = ctx.target_kind(target)
+        if kind == "column" and key in ctx.schema and ctx.schema[key].typeName() == "map":
+            m = F.col(key)
+            if name == "delete_key":
+                k = _lit_of(args[1], "key")
+                new = F.map_filter(m, lambda mk, _: mk != k)
+            elif name == "delete_matching_keys":
+                pat = _to_java_regex(_lit_of(args[1], "pattern"))
+                new = F.map_filter(m, lambda mk, _: ~mk.rlike(pat))
+            elif name == "keep_matching_keys":
+                pat = _to_java_regex(_lit_of(args[1], "pattern"))
+                new = F.map_filter(m, lambda mk, _: mk.rlike(pat))
+            else:  # keep_keys
+                keys = [compile_value(a, ctx).col for a in args[1].args]
+                new = F.map_filter(m, lambda mk, _: mk.isin(*[_lit_of(a, "key") for a in args[1].args]))
+            return df.withColumn(key, _guarded(new, m, cond))
+        # typed fast path: deleting an attribute column = null it out
+        if name == "delete_key":
+            k = _lit_of(args[1], "key")
+            if k in ctx.schema:
+                old = F.col(k)
+                return df.withColumn(k, _guarded(F.lit(None).cast(ctx.schema[k]), old, cond))
+            return df
+        raise OTTLCompileError(f"{name} requires a map column target")
+
+    if name in ("replace_pattern", "replace_match"):
+        target = args[0]
+        kind, key = ctx.target_kind(target)
+        tc = ctx.resolve(target)
+        old = tc.col
+        if name == "replace_pattern":
+            pat = _to_java_regex(_lit_of(args[1], "pattern"))
+            repl = _lit_of(args[2], "replacement")
+            new = F.regexp_replace(old, pat, repl)
+        else:
+            glob = _lit_of(args[1], "glob")
+            repl = _lit_of(args[2], "replacement")
+            new = F.when(old.like(_glob_to_like(glob)), F.lit(repl)).otherwise(old)
+        if kind == "column":
+            return df.withColumn(key, _guarded(new, old, cond))
+        map_col, map_key = key.split(":", 1)
+        m = F.col(map_col)
+        return df.withColumn(map_col, _guarded(_map_set(m, map_key, new), m, cond))
+
+    if name in ("replace_all_matches", "replace_all_patterns"):
+        target = args[0]
+        kind, key = ctx.target_kind(target)
+        if kind != "column" or ctx.schema.get(key, None) is None or ctx.schema[key].typeName() != "map":
+            raise OTTLCompileError(f"{name} requires a map target")
+        m = F.col(key)
+        if name == "replace_all_matches":
+            glob = _glob_to_like(_lit_of(args[1], "glob"))
+            repl = _lit_of(args[2], "replacement")
+            new = F.transform_values(m, lambda _, v: F.when(v.like(glob), F.lit(repl)).otherwise(v))
+        else:
+            mode = _lit_of(args[1], "mode")
+            pat = _to_java_regex(_lit_of(args[2], "pattern"))
+            repl = _lit_of(args[3], "replacement")
+            if mode == "value":
+                new = F.transform_values(m, lambda _, v: F.regexp_replace(v, pat, repl))
+            else:
+                new = F.map_from_entries(
+                    F.transform(
+                        F.map_entries(m),
+                        lambda e: F.struct(
+                            F.regexp_replace(e["key"], pat, repl).alias("key"),
+                            e["value"].alias("value"),
+                        ),
+                    )
+                )
+        return df.withColumn(key, _guarded(new, m, cond))
+
+    if name == "truncate_all":
+        target = args[0]
+        kind, key = ctx.target_kind(target)
+        limit = _lit_of(args[1], "limit")
+        m = F.col(key)
+        new = F.transform_values(m, lambda _, v: F.substring(v, 1, limit))
+        return df.withColumn(key, _guarded(new, m, cond))
+
+    if name == "limit":
+        target = args[0]
+        kind, key = ctx.target_kind(target)
+        n = _lit_of(args[1], "limit")
+        priority = [_lit_of(a, "priority key") for a in args[2].args] if len(args) > 2 else []
+        m = F.col(key)
+        entries = F.map_entries(m)
+        if priority:
+            pr = F.array(*[F.lit(p) for p in priority])
+            keep_pri = F.filter(entries, lambda e: F.array_contains(pr, e["key"]))
+            rest = F.filter(entries, lambda e: ~F.array_contains(pr, e["key"]))
+            ordered = F.concat(keep_pri, rest)
+        else:
+            ordered = entries
+        new = F.map_from_entries(F.slice(ordered, 1, n))
+        new = F.when(F.size(entries) <= n, m).otherwise(new)
+        return df.withColumn(key, _guarded(new, m, cond))
+
+    if name == "merge_maps":
+        target, source = args[0], args[1]
+        strategy = _lit_of(args[2], "strategy")
+        kind, key = ctx.target_kind(target)
+        tgt = F.col(key)
+        src = compile_value(source, ctx).col
+        if strategy == "upsert":
+            merged = F.map_concat(F.map_filter(tgt, lambda k, _: ~F.array_contains(F.map_keys(src), k)), src)
+        elif strategy == "insert":
+            merged = F.map_concat(tgt, F.map_filter(src, lambda k, _: ~F.array_contains(F.map_keys(tgt), k)))
+        elif strategy == "update":
+            merged = F.map_zip_with(tgt, src, lambda k, v1, v2: F.coalesce(v2, v1))
+            merged = F.map_filter(merged, lambda k, _: F.array_contains(F.map_keys(tgt), k))
+        else:
+            raise OTTLCompileError(f"merge_maps: bad strategy {strategy}")
+        merged = F.when(src.isNull(), tgt).otherwise(merged)
+        return df.withColumn(key, _guarded(merged, tgt, cond))
+
+    if name == "append":
+        target = args[0]
+        kind, key = ctx.target_kind(target)
+        named = dict(call.named)
+        old = F.col(key) if key in ctx.schema else F.lit(None).cast("array<string>")
+        base = F.coalesce(old, F.array().cast("array<string>"))
+        if "values" in named:
+            vals = [compile_value(a, ctx).col.cast("string") for a in named["values"].args]
+        elif len(args) > 1:
+            vals = [val(1).col.cast("string")]
+        elif "value" in named:
+            vals = [compile_value(named["value"], ctx).col.cast("string")]
+        else:
+            raise OTTLCompileError("append requires value or values")
+        new = F.concat(base, F.array(*vals))
+        return df.withColumn(key, _guarded(new, old, cond))
+
+    if name == "flatten":
+        raise OTTLCompileError("flatten: nested-map flattening not yet implemented")
+
+    raise OTTLCompileError(f"unknown editor {name}")

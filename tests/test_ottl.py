@@ -1,0 +1,286 @@
+"""OTTL compiler conformance tests.
+
+Modeled on the reference's table-driven statement e2e corpus
+(`pkg/ottl/e2e/e2e_test.go:36,327`): each case applies a statement/condition
+to a known row and asserts the exact result.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_telemetry_opentelemetry_collector_contrib_spark.ottl import (
+    LogContext,
+    apply_statement,
+    apply_statements,
+    compile_condition,
+    parse_condition,
+    parse_statement,
+)
+from open_telemetry_opentelemetry_collector_contrib_spark.ottl.ast import (
+    Comparison,
+    FuncCall,
+    Literal,
+    Path,
+)
+
+
+@pytest.fixture(scope="module")
+def logs(spark):
+    rows = [
+        {
+            "conv_id": "c1",
+            "turn_idx": 0,
+            "text": "operationA",
+            "level": "INFO",
+            "severity_number": 9,
+            "http_method": "get",
+            "http_url": "http://localhost/health",
+            "total_count": 1,
+            "attributes": {"http.method": "get", "http.path": "/health", "flags": "A|B|C"},
+            "ts_str": "2024-02-04 06:05:01.333",
+        },
+        {
+            "conv_id": "c2",
+            "turn_idx": 1,
+            "text": "operationB",
+            "level": "ERROR",
+            "severity_number": 17,
+            "http_method": "post",
+            "http_url": "http://example.com:8080/path?q=1",
+            "total_count": 2,
+            "attributes": {"http.method": "post", "things": "x"},
+            "ts_str": "2024-02-04 06:05:02.456",
+        },
+    ]
+    return spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts_str"))
+
+
+def one(df, conv="c1"):
+    return df.filter(F.col("conv_id") == conv).collect()[0]
+
+
+# -- parser ------------------------------------------------------------------
+
+
+def test_parse_statement_shapes():
+    s = parse_statement('set(attributes["test"], "pass") where body == "operationA"')
+    assert s.editor.name == "set"
+    assert isinstance(s.where, Comparison)
+    assert s.editor.args[0] == Path(("attributes",), ("test",))
+
+    c = parse_condition('severity_number == SEVERITY_NUMBER_INFO and not (level == "x")')
+    assert c is not None
+
+    s2 = parse_statement('set(attributes["i"], Split(attributes["flags"], "|")[1])')
+    assert s2.editor.args[1].target.name == "Split"
+
+
+def test_parser_named_args():
+    s = parse_statement('set(cache["x"], ExtractGrokPatterns(body, "%{INT:n}", namedCapturesOnly = true))')
+    assert dict(s.editor.args[1].named)["namedCapturesOnly"] == Literal(True, "bool")
+
+
+def test_negative_number_vs_minus():
+    c = parse_condition("total_count - 1 == 0")
+    assert isinstance(c, Comparison)
+    c2 = parse_condition("total_count == -1")
+    assert c2.right == Literal(-1, "int")
+
+
+# -- comparison semantics (LANGUAGE.md:261-285) --------------------------------
+
+
+@pytest.mark.parametrize(
+    "cond,expected_convs",
+    [
+        ('body == "operationA"', {"c1"}),
+        ('body != "operationA"', {"c2"}),
+        ("severity_number == SEVERITY_NUMBER_INFO", {"c1"}),
+        ("severity_number >= 17", {"c2"}),
+        # int vs float compare as float
+        ("total_count == 1.0", {"c1"}),
+        ("total_count < 1.5", {"c1"}),
+        # mismatched base types: == false, != true, ordering false
+        ('total_count == "1"', set()),
+        ('total_count != "1"', {"c1", "c2"}),
+        ('total_count < "abc"', set()),
+        # nil handling: missing map key == nil -> true only for the row lacking it
+        ('attributes["things"] == nil', {"c1"}),
+        ('attributes["things"] != nil', {"c2"}),
+        # boolean grammar + parens + not
+        ('level == "INFO" or level == "ERROR"', {"c1", "c2"}),
+        ('not (level == "INFO")', {"c2"}),
+        ('IsMatch(body, "operation[AC]")', {"c1"}),
+        # math in conditions: int arithmetic
+        ("total_count * 2 == 4", {"c2"}),
+        ("total_count - 1 == 0", {"c1"}),
+        # Go int division truncates: c1 (1+1)/2=1, c2 (2+1)/2=1
+        ("(total_count + 1) / 2 == 1", {"c1", "c2"}),
+    ],
+)
+def test_condition_semantics(logs, cond, expected_convs):
+    ctx = LogContext(logs)
+    got = {r.conv_id for r in logs.filter(compile_condition(cond, ctx)).collect()}
+    assert got == expected_convs, cond
+
+
+def test_int_float_math_mix_rejected(logs):
+    ctx = LogContext(logs)
+    with pytest.raises(Exception, match="mixing"):
+        compile_condition("total_count + 1.5 == 2", ctx)
+
+
+# -- editors -------------------------------------------------------------------
+
+
+def test_set_with_where(logs):
+    df = apply_statement(logs, 'set(attributes["test"], "pass") where body == "operationA"')
+    assert one(df).attributes.get("test") == "pass"
+    assert one(df, "c2").attributes.get("test") is None
+
+
+def test_set_typed_column(logs):
+    df = apply_statement(logs, 'set(level, "DEBUG") where conv_id == "c2"')
+    assert one(df).level == "INFO"
+    assert one(df, "c2").level == "DEBUG"
+
+
+def test_set_nil_is_noop(logs):
+    df = apply_statement(logs, 'set(level, attributes["missing"])')
+    assert one(df).level == "INFO"
+
+
+def test_delete_key(logs):
+    df = apply_statement(logs, 'delete_key(attributes, "http.method")')
+    assert "http.method" not in one(df).attributes
+
+
+def test_delete_matching_keys(logs):
+    df = apply_statement(logs, 'delete_matching_keys(attributes, "http.*")')
+    assert set(one(df).attributes) == {"flags"}
+
+
+def test_keep_keys(logs):
+    df = apply_statement(logs, 'keep_keys(attributes, ["http.method", "nope"])')
+    assert set(one(df).attributes) == {"http.method"}
+
+
+def test_keep_matching_keys(logs):
+    df = apply_statement(logs, 'keep_matching_keys(attributes, "http.*")')
+    assert set(one(df).attributes) == {"http.method", "http.path"}
+
+
+def test_replace_pattern(logs):
+    df = apply_statement(logs, 'replace_pattern(http_method, "get", "GET")')
+    assert one(df).http_method == "GET"
+    assert one(df, "c2").http_method == "post"
+
+
+def test_replace_match_glob(logs):
+    df = apply_statement(logs, 'replace_match(http_url, "http://localhost*", "local")')
+    assert one(df).http_url == "local"
+    assert one(df, "c2").http_url.startswith("http://example")
+
+
+def test_replace_all_patterns_value_and_key(logs):
+    df = apply_statement(logs, 'replace_all_patterns(attributes, "value", "get", "G")')
+    assert one(df).attributes["http.method"] == "G"
+    df2 = apply_statement(logs, 'replace_all_patterns(attributes, "key", "http\\\\.", "")')
+    assert "method" in one(df2).attributes
+
+
+def test_truncate_all(logs):
+    df = apply_statement(logs, "truncate_all(attributes, 2)")
+    assert one(df).attributes["http.method"] == "ge"
+
+
+def test_limit(logs):
+    df = apply_statement(logs, 'limit(attributes, 1, ["http.path"])')
+    assert set(one(df).attributes) == {"http.path"}
+
+
+def test_append_and_statement_sequencing(logs):
+    df = apply_statements(
+        logs,
+        [
+            'append(tags, "a")',
+            'append(tags, "b") where conv_id == "c1"',
+        ],
+    )
+    assert one(df).tags == ["a", "b"]
+    assert one(df, "c2").tags == ["a"]
+
+
+def test_merge_maps_upsert(logs):
+    df = apply_statement(
+        logs, 'merge_maps(attributes, ParseKeyValue("k1=v1 http.method=put"), "upsert")'
+    )
+    attrs = one(df).attributes
+    assert attrs["k1"] == "v1" and attrs["http.method"] == "put"
+    df2 = apply_statement(
+        logs, 'merge_maps(attributes, ParseKeyValue("k1=v1 http.method=put"), "insert")'
+    )
+    attrs2 = one(df2).attributes
+    assert attrs2["k1"] == "v1" and attrs2["http.method"] == "get"
+
+
+# -- converters ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        ('Int("42")', 42),
+        ("Int(2.9)", 2),
+        ('Double("1.5")', 1.5),
+        ("String(total_count)", "1"),
+        ('Concat([level, body], "-")', "INFO-operationA"),
+        ('ConvertCase(level, "lower")', "info"),
+        ('ConvertCase(body, "snake")', "operation_a"),
+        ('ConvertCase("an_example", "camel")', "AnExample"),
+        ('Split(attributes["flags"], "|")[1]', "B"),
+        ("Substring(body, 2, 3)", "era"),
+        ('Format("%s=%d", [level, total_count])', "INFO=1"),
+        ("Len(body)", 10),
+        ("Len(attributes)", 3),
+        ('Hex(total_count)', "0000000000000001"),
+        ("MD5(http_method)", "b5eda0a74558a342cf659187f06f746f"),
+        ("SHA256(http_method)", "2998b3232d29e8dc5a78d97a32ce83f556f3ed31b057077503df05641dd79158"),
+        ('IsMatch(http_url, "^http://localhost")', True),
+        ("IsString(body)", True),
+        ("IsInt(body)", False),
+        ("IsInt(total_count)", True),
+        ('UnixSeconds(Time("2024-02-04", "%Y-%m-%d"))', 1707004800),
+        ("Year(ts)", 2024),
+        ("Hour(ts)", 6),
+        ('UnixSeconds(TruncateTime(ts, "1h"))', 1707026400),
+        ('Sort(Split(attributes["flags"], "|"), "desc")[0]', "C"),
+        ('ParseJSON("{\\"k\\": 87}")["k"]', "87"),
+        ('ParseCSV("a,b,c", "f1,f2,f3")["f2"]', "b"),
+        ('ExtractPatterns(http_url, "://(?P<host>[^:/]+)")["host"]', "localhost"),
+        ('ExtractGrokPatterns("user alice id 42", "user %{WORD:user} id %{INT:id}")["id"]', "42"),
+        ('ExtractGrokPatterns("at 10.1.2.3 ok", "at %{IP:ip} ok")["ip"]', "10.1.2.3"),
+        ('URL(http_url)["url.domain"]', "localhost"),
+        ('URL(http_url)["url.path"]', "/health"),
+    ],
+)
+def test_converters(logs, expr, expected):
+    df = apply_statement(logs, f"set(out, {expr})")
+    got = one(df).out
+    if isinstance(expected, float):
+        assert abs(got - expected) < 1e-9
+    else:
+        assert got == expected, expr
+
+
+def test_md5_matches_reference_known_value(spark):
+    # e2e corpus asserts MD5("pass") on a known string
+    df = spark.createDataFrame([("pass",)], ["v"])
+    from open_telemetry_opentelemetry_collector_contrib_spark.ottl import apply_statement as ap
+
+    out = ap(df, "set(h, MD5(v))").collect()[0].h
+    import hashlib
+
+    assert out == hashlib.md5(b"pass").hexdigest()
