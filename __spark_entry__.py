@@ -148,6 +148,16 @@ _ROUTED_CTE = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from open_telemetry_opentelemetry_collector_contrib_spark.plans.catalog import (
+        CATALOG_ORACLES,
+    )
+
+    out = dict(CATALOG_ORACLES)
+    out.update(_flagship_oracles())
+    return out
+
+
+def _flagship_oracles() -> dict[str, str]:
     return {
         "transcripts": _PREFIX
         + "SELECT conv_id, turn_idx, role, text, tool, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM transcripts_cte",
@@ -176,6 +186,16 @@ FROM routed WHERE latency_ms IS NOT NULL GROUP BY 1, 2, 3""",
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from open_telemetry_opentelemetry_collector_contrib_spark.plans.catalog import (
+        CATALOG_QUERIES,
+    )
+
+    out = dict(CATALOG_QUERIES)
+    out.update(_flagship_queries())
+    return out
+
+
+def _flagship_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
         "pipeline_parse": q_pipeline_parse,

@@ -1,0 +1,133 @@
+"""Metric-stream processors: delta<->cumulative, rate, interval, spanmetrics.
+
+All are per-stream ordered operations; a "stream identity" is the set of key
+columns (metric name + attributes). The reference keeps per-stream state in
+memory with staleness eviction; batch Spark replaces state with window
+functions over ``Window.partitionBy(stream).orderBy(ts)`` — the shuffle is on
+the stream key, which is exactly how the reference shards streams across
+workers (`processor/groupbytraceprocessor/processor.go:27-31`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .aggregate import tumbling_window_id
+
+
+def _stream_window(keys: list[str], ts_col: str, order_cols: list[str] | None = None):
+    return Window.partitionBy(*keys).orderBy(ts_col, *(order_cols or []))
+
+
+def delta_to_cumulative(
+    df: DataFrame, keys: list[str], value_col: str, ts_col: str = "ts",
+    out_col: str = "cumulative", order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Running sum per stream (`processor/deltatocumulativeprocessor/config.go:19-31`).
+
+    max_stale eviction is a streaming-memory concern; in batch the window is
+    unbounded-preceding (equivalent to never-evicted state).
+    """
+    w = _stream_window(keys, ts_col, order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def cumulative_to_delta(
+    df: DataFrame, keys: list[str], value_col: str, ts_col: str = "ts",
+    out_col: str = "delta", first_point: str = "drop",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """value - lag(value) per stream
+    (`processor/cumulativetodeltaprocessor/config.go:17-29`).
+
+    first_point: 'drop' (reference auto default for unknown start) drops each
+    stream's first point; 'keep' emits it as its own value.
+    """
+    w = _stream_window(keys, ts_col, order_cols)
+    lag = F.lag(value_col).over(w)
+    out = df.withColumn(out_col, F.col(value_col) - lag)
+    if first_point == "drop":
+        return out.filter(F.col(out_col).isNotNull())
+    if first_point == "keep":
+        return out.withColumn(out_col, F.coalesce(F.col(out_col), F.col(value_col)))
+    raise ValueError(f"unknown first_point {first_point!r}")
+
+
+def delta_to_rate(
+    df: DataFrame, keys: list[str], value_col: str, ts_col: str = "ts",
+    out_col: str = "rate", order_cols: list[str] | None = None,
+) -> DataFrame:
+    """delta / collection interval (`processor/deltatorateprocessor/`)."""
+    w = _stream_window(keys, ts_col, order_cols)
+    dt = F.unix_timestamp(F.col(ts_col)) - F.lag(F.unix_timestamp(F.col(ts_col))).over(w)
+    return df.withColumn(
+        out_col, F.when(dt > 0, F.col(value_col).cast("double") / dt)
+    ).filter(F.col(out_col).isNotNull())
+
+
+def interval_aggregate(
+    df: DataFrame, keys: list[str], value_col: str, interval_s: int,
+    ts_col: str = "ts", order_cols: list[str] | None = None,
+) -> DataFrame:
+    """intervalprocessor: last value per stream per emission interval
+    (`processor/intervalprocessor/config.go:18-31`)."""
+    order = F.struct(F.col(ts_col), *[F.col(c) for c in (order_cols or [])])
+    return (
+        df.withColumn("window_id", tumbling_window_id(F.col(ts_col), interval_s))
+        .groupBy("window_id", *keys)
+        .agg(F.max_by(F.col(value_col), order).alias(value_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# spanmetrics connector: calls + duration histogram per dimension set
+# (`connector/spanmetricsconnector/config.go:35-70`, aggregation loop
+# `connector.go:370-458`)
+# ---------------------------------------------------------------------------
+
+DEFAULT_BUCKETS_MS = [2, 4, 6, 8, 10, 50, 100, 200, 400, 800, 1000, 1400, 2000, 5000, 10000, 15000]
+
+
+def explicit_bucket_index(value: Column, bounds: list[float]) -> Column:
+    """Index of the first bucket bound >= value (len(bounds) = overflow)."""
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(value > b, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def span_metrics(
+    df: DataFrame,
+    dims: list[str],
+    duration_col: str,
+    window_s: int = 3600,
+    ts_col: str = "ts",
+    buckets: list[float] | None = None,
+) -> DataFrame:
+    """Per (window, dims): call count, duration sum/min/max, explicit-bucket
+    histogram as an array of counters (delta temporality)."""
+    bounds = buckets or DEFAULT_BUCKETS_MS
+    n = len(bounds) + 1
+    idx = explicit_bucket_index(F.col(duration_col).cast("double"), bounds)
+    one_hot = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.when(i == idx, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    return (
+        df.withColumn("window_id", tumbling_window_id(F.col(ts_col), window_s))
+        .withColumn("__bucket_onehot", one_hot)
+        .groupBy("window_id", *dims)
+        .agg(
+            F.count(F.lit(1)).alias("calls"),
+            F.sum(F.col(duration_col).cast("double")).alias("duration_sum"),
+            F.min(F.col(duration_col).cast("double")).alias("duration_min"),
+            F.max(F.col(duration_col).cast("double")).alias("duration_max"),
+            F.array(*[
+                F.sum(F.element_at("__bucket_onehot", i + 1)).alias(f"b{i}")
+                for i in range(n)
+            ]).alias("bucket_counts"),
+        )
+    )

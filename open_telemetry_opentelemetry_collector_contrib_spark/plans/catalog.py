@@ -1,0 +1,457 @@
+"""Operator-suite query catalog: each SURVEY.md §2 operator exposed as a
+(spark, sf_dir) -> DataFrame callable with a DuckDB oracle twin.
+
+Compared outputs avoid raw doubles/timestamps (epoch-second or scaled-integer
+surrogates) so value hashes are engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import datagen
+from ..operators import dedup as dedup_ops
+from ..operators import filter as filter_ops
+from ..operators import metrics as metric_ops
+from ..operators import recombine as recombine_ops
+from ..operators import sample as sample_ops
+from ..operators import transform as transform_ops
+from ..operators.route import Route, with_route_match_all
+from ..sources.tables import load_table
+from . import pipeline
+
+_PREFIX = datagen.duckdb_cte_prefix()
+
+# re-usable DuckDB parsed-transcripts CTE (duplicated from __spark_entry__ to
+# keep the catalog self-contained)
+_PARSED_CTE = r"""
+, parsed AS (
+  SELECT conv_id, turn_idx, role, tool, ts,
+    nullif(regexp_extract(text, '^(INFO|ERROR|WARN|DEBUG) ', 1), '') AS level,
+    nullif(regexp_extract(text, 'action=([a-z_]+)', 1), '') AS action,
+    CAST(nullif(regexp_extract(text, 'latency_ms=([0-9]+)', 1), '') AS BIGINT) AS latency_ms,
+    nullif(regexp_extract(text, 'status=([a-z]+)', 1), '') AS status,
+    nullif(regexp_extract(text, 'msg="([^"]*)"', 1), '') AS msg,
+    text
+  FROM transcripts_cte
+)
+"""
+
+
+def _events_vi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with an integer value surrogate (engine-portable)."""
+    return load_table(spark, sf_dir, "events").withColumn(
+        "vi", F.floor(F.col("value") * 1000).cast("bigint")
+    )
+
+
+_EVENTS_VI = "SELECT *, CAST(floor(value * 1000) AS BIGINT) AS vi FROM events"
+
+
+# ---------------------------------------------------------------------------
+# filterprocessor
+# ---------------------------------------------------------------------------
+
+
+def q_filter_ottl_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = filter_ops.filter_ottl(ev, ['event_type == "view"', "value < 1.0"])
+    return out.select("event_id", "event_type", F.unix_timestamp("ts").alias("ts_s"))
+
+
+O_FILTER_OTTL = """
+SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+FROM events
+WHERE NOT coalesce(event_type = 'view' OR value < 1.0, FALSE)
+"""
+
+
+def q_filter_match_props(spark, sf_dir):
+    df = pipeline.parsed(spark, sf_dir)
+    out = filter_ops.filter_match_properties(
+        df,
+        include=filter_ops.LogMatchProperties(match_type="regexp", bodies=["^INFO.*"]),
+        exclude=filter_ops.LogMatchProperties(match_type="strict", attributes={"status": "err"}),
+    )
+    return out.select("conv_id", "turn_idx")
+
+
+O_FILTER_MATCH = (
+    _PREFIX
+    + _PARSED_CTE
+    + """
+SELECT conv_id, turn_idx FROM parsed
+WHERE coalesce(regexp_matches(text, '^INFO.*'), FALSE)
+  AND NOT coalesce(status = 'err', FALSE)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# transformprocessor (OTTL statement groups)
+# ---------------------------------------------------------------------------
+
+_TRANSFORM_STATEMENTS = [
+    'set(level_lc, ConvertCase(level, "lower"))',
+    'replace_pattern(msg, "payload [0-9]+", "payload <n>")',
+    "set(is_slow, latency_ms > 500)",
+    'set(sev_num, 9) where level == "INFO"',
+    'set(sev_num, 17) where level == "ERROR"',
+]
+
+
+def q_transform_statements(spark, sf_dir):
+    df = pipeline.parsed(spark, sf_dir)
+    out = transform_ops.transform(
+        df, [transform_ops.StatementGroup(statements=_TRANSFORM_STATEMENTS)]
+    )
+    return out.select("conv_id", "turn_idx", "level_lc", "msg", "is_slow", "sev_num")
+
+
+O_TRANSFORM = (
+    _PREFIX
+    + _PARSED_CTE
+    + """
+SELECT conv_id, turn_idx,
+       lower(level) AS level_lc,
+       regexp_replace(msg, 'payload [0-9]+', 'payload <n>') AS msg,
+       coalesce(latency_ms > 500, FALSE) AS is_slow,
+       CASE level WHEN 'INFO' THEN 9 WHEN 'ERROR' THEN 17 END AS sev_num
+FROM parsed
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# logdedupprocessor
+# ---------------------------------------------------------------------------
+
+_DEDUP_EXCLUDE = ["conv_id", "turn_idx", "text", "msg", "prop_k", "latency_ms"]
+
+
+def q_logdedup_transcripts(spark, sf_dir):
+    df = pipeline.parsed(spark, sf_dir)
+    out = dedup_ops.logdedup(
+        df, interval_s=86400, exclude_fields=_DEDUP_EXCLUDE, order_col="conv_id"
+    )
+    return out.select(
+        "window_id", "level", "action", "status", "role", "tool", "parse_ok",
+        "log_count", "first_observed_s",
+    )
+
+
+O_LOGDEDUP = (
+    _PREFIX
+    + _PARSED_CTE
+    + """
+SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS window_id,
+       level, action, status, role, tool, level IS NOT NULL AS parse_ok,
+       count(*) AS log_count,
+       min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_observed_s
+FROM parsed
+GROUP BY 1, 2, 3, 4, 5, 6, 7
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# probabilistic sampler
+# ---------------------------------------------------------------------------
+
+
+def q_sample_lcg_events(spark, sf_dir):
+    """Engine-portable deterministic sampler (LCG arithmetic hash) — the
+    oracle-checkable twin of the xxhash64 hash_seed sampler."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.pmod(F.col("event_id") * 1103515245 + 12345, F.lit(16384))
+    return ev.filter(bucket < 4096).select("event_id", "event_type")
+
+
+O_SAMPLE_LCG = """
+SELECT event_id, event_type FROM events
+WHERE (event_id * 1103515245 + 12345) % 16384 < 4096
+"""
+
+
+def q_sample_hash_transcripts(spark, sf_dir):
+    """hash_seed sampler on conv_id (xxhash64; no SQL oracle — rows-only)."""
+    t = datagen.transcripts(spark, sf_dir)
+    return sample_ops.probabilistic_sample(t, "conv_id", 25.0).select(
+        "conv_id", "turn_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
+# metric-stream processors
+# ---------------------------------------------------------------------------
+
+_STREAM_KEYS = ["user_id", "event_type"]
+
+
+def q_delta_to_cumulative(spark, sf_dir):
+    out = metric_ops.delta_to_cumulative(
+        _events_vi(spark, sf_dir), _STREAM_KEYS, "vi", order_cols=["event_id"]
+    )
+    return out.select("user_id", "event_type", "event_id", "vi", "cumulative")
+
+
+O_D2C = f"""
+SELECT user_id, event_type, event_id, vi,
+       sum(vi) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cumulative
+FROM ({_EVENTS_VI})
+"""
+
+
+def q_cumulative_to_delta(spark, sf_dir):
+    out = metric_ops.cumulative_to_delta(
+        _events_vi(spark, sf_dir), _STREAM_KEYS, "vi",
+        first_point="drop", order_cols=["event_id"],
+    )
+    return out.select("user_id", "event_type", "event_id", "delta")
+
+
+O_C2D = f"""
+SELECT user_id, event_type, event_id, delta FROM (
+  SELECT user_id, event_type, event_id,
+         vi - lag(vi) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS delta
+  FROM ({_EVENTS_VI})
+) WHERE delta IS NOT NULL
+"""
+
+
+def q_delta_to_rate(spark, sf_dir):
+    out = metric_ops.delta_to_rate(
+        _events_vi(spark, sf_dir), _STREAM_KEYS, "vi", order_cols=["event_id"]
+    )
+    return out.select(
+        "user_id", "event_type", "event_id",
+        F.floor(F.col("rate") * 1000).cast("bigint").alias("rate_milli"),
+    )
+
+
+O_RATE = f"""
+SELECT user_id, event_type, event_id,
+       CAST(floor(CAST(vi AS DOUBLE) / dt * 1000) AS BIGINT) AS rate_milli
+FROM (
+  SELECT *, CAST(floor(epoch(ts)) AS BIGINT)
+            - lag(CAST(floor(epoch(ts)) AS BIGINT))
+              OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS dt
+  FROM ({_EVENTS_VI})
+) WHERE dt > 0
+"""
+
+
+def q_interval_last(spark, sf_dir):
+    out = metric_ops.interval_aggregate(
+        _events_vi(spark, sf_dir), _STREAM_KEYS, "vi", 86400, order_cols=["event_id"]
+    )
+    return out.select("window_id", "user_id", "event_type", "vi")
+
+
+O_INTERVAL = f"""
+SELECT window_id, user_id, event_type, vi FROM (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS window_id, user_id, event_type, vi,
+         row_number() OVER (PARTITION BY CAST(floor(epoch(ts) / 86400) AS BIGINT), user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ({_EVENTS_VI})
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# spanmetrics connector
+# ---------------------------------------------------------------------------
+
+
+def q_span_metrics(spark, sf_dir):
+    df = pipeline.parsed(spark, sf_dir).filter(F.col("latency_ms").isNotNull())
+    out = metric_ops.span_metrics(df, ["role", "action"], "latency_ms", window_s=86400)
+    return out.select(
+        "window_id", "role", "action", "calls",
+        F.col("duration_sum").cast("bigint").alias("duration_sum"),
+        F.col("duration_min").cast("bigint").alias("duration_min"),
+        F.col("duration_max").cast("bigint").alias("duration_max"),
+        F.array_join(F.transform("bucket_counts", lambda x: x.cast("string")), ",").alias("buckets"),
+    )
+
+
+def _span_metrics_oracle() -> str:
+    bounds = metric_ops.DEFAULT_BUCKETS_MS
+    idx = " + ".join(
+        f"CASE WHEN CAST(latency_ms AS DOUBLE) > {float(b)} THEN 1 ELSE 0 END" for b in bounds
+    )
+    n = len(bounds) + 1
+    per_bucket = ", ".join(
+        f"CAST(sum(CASE WHEN idx = {i} THEN 1 ELSE 0 END) AS VARCHAR)" for i in range(n)
+    )
+    return (
+        _PREFIX
+        + _PARSED_CTE
+        + f"""
+, spans AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS window_id, role, action,
+         latency_ms, ({idx}) AS idx
+  FROM parsed WHERE latency_ms IS NOT NULL
+)
+SELECT window_id, role, action,
+       count(*) AS calls,
+       CAST(sum(latency_ms) AS BIGINT) AS duration_sum,
+       CAST(min(latency_ms) AS BIGINT) AS duration_min,
+       CAST(max(latency_ms) AS BIGINT) AS duration_max,
+       concat_ws(',', {per_bucket}) AS buckets
+FROM spans GROUP BY 1, 2, 3
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# recombine (sessionization)
+# ---------------------------------------------------------------------------
+
+
+def q_recombine_conversations(spark, sf_dir):
+    t = datagen.transcripts(spark, sf_dir)
+    out = recombine_ops.recombine(
+        t, "conv_id", "turn_idx", "text",
+        is_first_entry=(F.col("role") == "user"),
+    )
+    return out.select("conv_id", "turn_idx", "combined", "member_count")
+
+
+O_RECOMBINE = (
+    _PREFIX
+    + """
+, flagged AS (
+  SELECT conv_id, turn_idx, text,
+         CASE WHEN role = 'user' THEN 1 ELSE 0 END AS f
+  FROM transcripts_cte
+), grouped AS (
+  SELECT *, sum(f) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS UNBOUNDED PRECEDING) AS g
+  FROM flagged
+)
+SELECT conv_id, min(turn_idx) AS turn_idx,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS combined,
+       count(*) AS member_count
+FROM grouped GROUP BY conv_id, g
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# routing connector: match_once=false (duplicate to every matching route)
+# ---------------------------------------------------------------------------
+
+
+def q_route_match_all(spark, sf_dir):
+    df = pipeline.enriched(spark, sf_dir)
+    out = with_route_match_all(df, pipeline.routing_table())
+    return out.select("conv_id", "turn_idx", "route")
+
+
+O_ROUTE_ALL = (
+    _PREFIX
+    + _PARSED_CTE
+    + f"""
+, enriched AS (
+  SELECT p.*, rd.is_human
+  FROM parsed p
+  LEFT JOIN {datagen.role_dim_values_sql().replace('__t', 'rd')} ON p.role = rd.role
+), m AS (
+  SELECT conv_id, turn_idx,
+         coalesce(level = 'ERROR' OR status = 'err', FALSE) AS c1,
+         coalesce(role = 'tool' AND tool <> '', FALSE) AS c2,
+         coalesce(is_human, FALSE) AS c3
+  FROM enriched
+)
+SELECT conv_id, turn_idx, 'errors' AS route FROM m WHERE c1
+UNION ALL SELECT conv_id, turn_idx, 'tool_calls' FROM m WHERE c2
+UNION ALL SELECT conv_id, turn_idx, 'human' FROM m WHERE c3
+UNION ALL SELECT conv_id, turn_idx, 'default' FROM m WHERE NOT (c1 OR c2 OR c3)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# lookup enrichment over the star schema (multi-hop broadcast joins)
+# ---------------------------------------------------------------------------
+
+
+def q_enrich_star_join(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    out = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+    )
+    return out.select("s_suppkey", "s_name", "n_name", "r_name")
+
+
+O_STAR_JOIN = """
+SELECT s_suppkey, s_name, n_name, r_name
+FROM supplier
+LEFT JOIN nation ON s_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# otlpjson connector analog: parse embedded JSON bodies
+# ---------------------------------------------------------------------------
+
+
+def q_events_props_json(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+O_PROPS_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+CATALOG_QUERIES = {
+    "filter_ottl_events": q_filter_ottl_events,
+    "filter_match_props": q_filter_match_props,
+    "transform_statements": q_transform_statements,
+    "logdedup_transcripts": q_logdedup_transcripts,
+    "sample_lcg_events": q_sample_lcg_events,
+    "sample_hash_transcripts": q_sample_hash_transcripts,
+    "delta_to_cumulative": q_delta_to_cumulative,
+    "cumulative_to_delta": q_cumulative_to_delta,
+    "delta_to_rate": q_delta_to_rate,
+    "interval_last": q_interval_last,
+    "span_metrics": q_span_metrics,
+    "recombine_conversations": q_recombine_conversations,
+    "route_match_all": q_route_match_all,
+    "enrich_star_join": q_enrich_star_join,
+    "events_props_json": q_events_props_json,
+}
+
+CATALOG_ORACLES = {
+    "filter_ottl_events": O_FILTER_OTTL,
+    "filter_match_props": O_FILTER_MATCH,
+    "transform_statements": O_TRANSFORM,
+    "logdedup_transcripts": O_LOGDEDUP,
+    "sample_lcg_events": O_SAMPLE_LCG,
+    # sample_hash_transcripts: xxhash64 not in DuckDB -> rows-only check
+    "delta_to_cumulative": O_D2C,
+    "cumulative_to_delta": O_C2D,
+    "delta_to_rate": O_RATE,
+    "interval_last": O_INTERVAL,
+    "span_metrics": _span_metrics_oracle(),
+    "recombine_conversations": O_RECOMBINE,
+    "route_match_all": O_ROUTE_ALL,
+    "enrich_star_join": O_STAR_JOIN,
+    "events_props_json": O_PROPS_JSON,
+}
