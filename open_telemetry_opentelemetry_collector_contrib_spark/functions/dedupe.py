@@ -1,0 +1,265 @@
+"""Deduplication family for training-data pipelines over ``documents``.
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash — all
+expressed as DataFrame programs (explode/groupBy/join); no Python executes
+per row. Scale notes per operator docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: keeper = min id, dup_count.
+
+    Scale: hash-shuffle on md5(text) — uniform keys, no skew; at 100 TB
+    group on the 128-bit digest instead of raw text to keep shuffle rows
+    narrow (done here).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of distinct word n-grams."""
+    words = F.split(F.trim(text), r"\s+")
+    k = F.size(words) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(words, i, n), " ")),
+    ).otherwise(F.array(F.array_join(words, " ")))
+    return F.array_distinct(grams)
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) exploded pairs + per-doc distinct shingle count."""
+    with_sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    ).withColumn("shingle_count", F.size("shingles"))
+    return with_sh.select(id_col, "shingle_count", F.explode("shingles").alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Candidate pairs with exact Jaccard >= threshold via shingle self-join.
+
+    Scale: the self-join key is the shingle; hot shingles (boilerplate) are
+    dropped above ``max_shingle_freq`` — the standard frequency cap that
+    bounds per-key join fan-out to max_freq^2 and removes the skew that would
+    otherwise dominate at 100 TB. Jaccard is surfaced in millionths (BIGINT).
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    sh = sh.join(freq.filter(F.col("freq") <= max_shingle_freq), "shingle")
+
+    a = sh.select(
+        F.col("shingle"),
+        F.col(id_col).alias("id_a"),
+        F.col("shingle_count").alias("count_a"),
+    )
+    b = sh.select(
+        F.col("shingle"),
+        F.col(id_col).alias("id_b"),
+        F.col("shingle_count").alias("count_b"),
+    )
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "count_a", "count_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    union = F.col("count_a") + F.col("count_b") - F.col("common")
+    jac = F.col("common").cast("double") / union
+    return (
+        common.withColumn("jaccard_ppm", F.floor(jac * 1_000_000).cast("bigint"))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "common", "jaccard_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE31 = (1 << 31) - 1  # products stay < 2^62: safe under ANSI int64
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature (array<bigint>, length num_hashes).
+
+    Shingle -> xxhash64 -> num_hashes universal-hash minima, computed with
+    array expressions over the shingle array (one projection, no shuffle).
+    Scale: signature is 64*8 bytes/doc regardless of doc size — the whole
+    point at 100 TB.
+    """
+    params = _hash_params(num_hashes, seed)
+    base = F.transform(
+        word_shingles(F.col(text_col), n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(base, lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE31)))
+            )
+            for a, b in params
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidate pairs: band the signature, bucket-join on
+    (band_idx, band_hash), emit distinct (id_a < id_b) pairs.
+
+    Scale: the join key is the band hash — collisions are by construction
+    rare for non-similar docs, so join fan-out stays near-linear; banding is
+    the standard sub-quadratic LSH path (vs the quadratic all-pairs scan).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bucket"),
+        ),
+    )
+    banded = sigs.select(id_col, F.explode(band_arr).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc: sign of per-bit weighted sums of token hashes.
+
+    Computed with array expressions: token array -> hash array -> per-bit
+    +-1 contributions folded with aggregate() — single projection, no
+    explode/shuffle, which is what makes it viable per-row at 100 TB.
+    """
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    # bit positions unrolled statically (shiftleft/right need int bit counts);
+    # still one projection, no shuffle
+    def _merge(b: int):
+        # closure factory: pyspark lambda introspection requires exactly
+        # (acc, x) params, so the bit index can't be a default arg
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sim = F.lit(0).cast("long")
+    for bit in range(bits):
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), _merge(bit))
+        bit_val = (1 << bit) if bit < 63 else -(1 << 63)  # sign bit of int64
+        sim = sim.bitwiseOR(
+            F.when(bit_sum > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_bits: int = 16,
+) -> DataFrame:
+    """Candidate pairs sharing any 16-bit simhash chunk (Hamming<=3 recall
+    path), bucket-joined per chunk — same banding trick as MinHash LSH."""
+    sh = simhash(df, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(F.col("simhash"), i * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("value"),
+            )
+            for i in range(64 // chunk_bits)
+        ]
+    )
+    banded = sh.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
+        id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.value").alias("value")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "chunk", "value")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk", "value")
+    pairs = (
+        a.join(b, ["chunk", "value"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.withColumn("hamming", hamming.cast("int")).drop("sim_a", "sim_b")

@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k as the exact baseline; hyperplane-LSH bucketing as
+the sub-quadratic scale path. Dot products stay JVM-side via zip_with +
+aggregate (no Python per row); embeddings are cast to double so results are
+bit-identical across engines for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k: broadcast the query set, score every corpus vector, rank.
+
+    Scale: queries are the small side (broadcast — no shuffle of the corpus);
+    the rank is a per-query window over scored rows, shuffled only by
+    query_id (k * |queries| rows survive the partial top-k with AQE).
+    Output: (query_id, vec_id, rank, cos_ppb).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    corpus = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
+    scored = corpus.join(F.broadcast(q)).withColumn(
+        "__cos", cosine(F.col("__cv"), F.col("__qv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "rank",
+            F.floor(F.col("__cos") * 1_000_000_000).cast("bigint").alias("cos_ppb"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no external data)."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from hyperplane projections."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(x) for x in p]))
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's
+    hyperplane-sign bucket (IVF/LSH-style candidate pruning).
+
+    Scale: candidate set shrinks ~2^-num_planes per bucket; the corpus gets
+    one narrow bucket column and the join is bucket-equi (hash-partitioned,
+    prunable). Recall trades off with num_planes — the exact twin above is
+    the correctness oracle.
+    """
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(dim, num_planes, seed)
+    corpus = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")
+    ).withColumn("__bucket", lsh_bucket(F.col("__cv"), planes))
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")
+    ).withColumn("__bucket", lsh_bucket(F.col("__qv"), planes))
+    scored = corpus.join(F.broadcast(q), "__bucket").withColumn(
+        "__cos", cosine(F.col("__cv"), F.col("__qv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "rank",
+            F.floor(F.col("__cos") * 1_000_000_000).cast("bigint").alias("cos_ppb"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket self-join.
+
+    Only pairs sharing a sign bucket are scored (near-identical vectors
+    almost always share all sign bits), then filtered by exact cosine.
+    """
+    planes = _hyperplanes(dim, num_planes, seed)
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+    a = base.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), "__bucket")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), "__bucket")
+    pairs = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("cos_ppb", F.floor(cos * 1_000_000_000).cast("bigint"))
+        .filter(cos >= threshold)
+        .select("id_a", "id_b", "cos_ppb")
+        .distinct()
+    )

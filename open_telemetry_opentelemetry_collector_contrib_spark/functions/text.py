@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+All pure Column programs (JVM-side, engine-portable for oracle checking):
+- token counting: whitespace tokens + a BPE-ish subword regex count
+- language ID: stopword-hit scoring per language, argmax
+- quality scoring: length / punctuation / stopword / word-length signals
+- document fingerprinting: content hash + shingle-min winnowing fingerprint
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token pieces: word-initial chunks, digits, punctuation runs
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "dans", "pour"],
+}
+
+
+def _stopword_pattern(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (split collapses runs)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("bigint")
+
+
+def bpe_ish_count(text: Column) -> Column:
+    """Subword-piece count via the BPE-ish regex (upper bound on BPE tokens)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0)).cast("bigint")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(_stopword_pattern(STOPWORDS[lang])))
+    ).cast("bigint")
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by stopword hits; 'und' (undetermined) when all zero.
+
+    The reference has no language ID; this mirrors the n-gram/wordlist
+    heuristics of public LID tools, restricted to deterministic Column ops.
+    Ties break by language-code order (deterministic).
+    """
+    scores = [(lang, stopword_hits(text, lang)) for lang in sorted(STOPWORDS)]
+    best_score = F.greatest(*[s for _, s in scores])
+    pick = F.coalesce(
+        *[F.when(s == best_score, F.lit(lang)) for lang, s in scores]
+    )
+    return F.when(best_score > 0, pick).otherwise(F.lit("und"))
+
+
+def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punct/stopword/word-length signals + a composite score.
+
+    Ratios are surfaced as millionths (BIGINT) for engine-portable hashing.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("bigint")
+    n_tokens = token_count(text)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0)).cast("bigint")
+    n_stop = stopword_hits(text, "en")
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    # composite: reward stopword density + sane word length, punish punctuation
+    score = (
+        F.least(stop_ratio * 2, F.lit(1.0)) * 0.5
+        + F.when((mean_word_len >= 3.0) & (mean_word_len <= 12.0), 0.3).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, 0.2).otherwise(0.0)
+    )
+    return (
+        df.withColumn("n_chars_t", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ppm", F.floor(punct_ratio * 1_000_000).cast("bigint"))
+        .withColumn("stop_ppm", F.floor(stop_ratio * 1_000_000).cast("bigint"))
+        .withColumn("quality_ppm", F.floor(score * 1_000_000).cast("bigint"))
+    )
+
+
+def char_shingles(text: Column, n: int = 8) -> Column:
+    """Array of character n-grams (empty when text shorter than n)."""
+    length = F.length(text)
+    return F.when(
+        length >= n,
+        F.transform(F.sequence(F.lit(1), length - (n - 1)), lambda i: F.substring(text, i, n)),
+    ).otherwise(F.array(text))
+
+
+def fingerprint_winnow(text: Column, n: int = 8, fp_mod: int = 1 << 61) -> Column:
+    """Winnowing-style fingerprint: min xxhash64 over char shingles.
+
+    Deterministic content fingerprint robust to local edits elsewhere in the
+    doc; xxhash64 keeps it JVM-side (no SQL oracle — rows-only check).
+    """
+    hashes = F.transform(char_shingles(text, n), lambda s: F.xxhash64(s))
+    return F.array_min(hashes)

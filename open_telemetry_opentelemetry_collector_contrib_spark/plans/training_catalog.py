@@ -1,0 +1,343 @@
+"""Training-data pipeline query catalog: dedup, similarity search, text
+analysis, multimodal plumbing — over the driver's ``documents`` and
+``embeddings`` tables, each with a DuckDB oracle where SQL can express it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import dedupe, multimodal, similarity, text as text_fns
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf_dir):
+    return dedupe.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+O_EXACT_DEDUP = """
+SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS dup_count
+FROM documents GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_doc_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_fns.quality_signals(docs)
+    return out.select(
+        "doc_id", "n_chars_t", "n_tokens", "punct_ppm", "stop_ppm", "quality_ppm"
+    )
+
+
+O_DOC_QUALITY = r"""
+WITH q AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars_t,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|that|for)\b')) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars_t, n_tokens,
+    CASE WHEN n_chars_t > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_t ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+    CASE WHEN n_tokens > 0 THEN CAST(n_chars_t AS DOUBLE) / n_tokens ELSE 0.0 END AS mwl
+  FROM q
+)
+SELECT doc_id, n_chars_t, n_tokens,
+  CAST(floor(punct_ratio * 1000000) AS BIGINT) AS punct_ppm,
+  CAST(floor(stop_ratio * 1000000) AS BIGINT) AS stop_ppm,
+  CAST(floor((least(stop_ratio * 2, 1.0) * 0.5
+              + CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END) * 1000000) AS BIGINT) AS quality_ppm
+FROM r
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_fns.token_count(F.col("text")).alias("ws_tokens"),
+        text_fns.bpe_ish_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+O_TOKEN_COUNTS = r"""
+SELECT doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text_fns.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _lang_id_oracle() -> str:
+    hits = ",\n    ".join(
+        f"len(regexp_extract_all(lower(text), '\\b({'|'.join(text_fns.STOPWORDS[lang])})\\b')) AS h_{lang}"
+        for lang in sorted(text_fns.STOPWORDS)
+    )
+    langs = sorted(text_fns.STOPWORDS)
+    best = f"greatest({', '.join('h_' + l for l in langs)})"
+    pick = "CASE " + " ".join(f"WHEN h_{l} = best THEN '{l}'" for l in langs) + " END"
+    return f"""
+WITH h AS (
+  SELECT doc_id, {hits}
+  FROM documents
+), s AS (
+  SELECT doc_id, {best} AS best, * FROM h
+)
+SELECT doc_id, CASE WHEN best > 0 THEN {pick} ELSE 'und' END AS lang_pred FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact, oracle-checked)
+# ---------------------------------------------------------------------------
+
+_JAC_N = 3
+_JAC_THRESHOLD = 0.5
+_JAC_MAXFREQ = 1000
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedupe.ngram_jaccard_pairs(
+        docs, n=_JAC_N, threshold=_JAC_THRESHOLD, max_shingle_freq=_JAC_MAXFREQ
+    )
+
+
+O_NGRAM_JACCARD = rf"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ws) - {_JAC_N - 1} >= 1
+      THEN [array_to_string(ws[i:i+{_JAC_N - 1}], ' ') for i in range(1, len(ws) - {_JAC_N - 2})]
+      ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM words
+), ex AS (
+  SELECT doc_id, len(shingles) AS shingle_count, unnest(shingles) AS shingle FROM sh
+), freq AS (
+  SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= {_JAC_MAXFREQ}
+), fx AS (
+  SELECT ex.* FROM ex JOIN freq USING (shingle)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.shingle_count AS count_a, b.shingle_count AS count_b,
+         count(*) AS common
+  FROM fx a JOIN fx b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, common,
+       CAST(floor(CAST(common AS DOUBLE) / (count_a + count_b - common) * 1000000) AS BIGINT) AS jaccard_ppm
+FROM pairs
+WHERE CAST(common AS DOUBLE) / (count_a + count_b - common) >= {_JAC_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH + SimHash (xxhash64-based -> rows-only driver check; exactness
+# is covered by dedicated pytest properties against the Jaccard oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedupe.minhash_lsh_pairs(docs, n=_JAC_N)
+
+
+def q_simhash_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedupe.simhash(docs)
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_fns.fingerprint_winnow(F.col("text")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_ANN_K = 10
+_NUM_QUERIES = 5
+_DIM = 64
+_NUM_PLANES = 8
+
+
+def _queries_df(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < _NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_bruteforce(emb, _queries_df(spark, sf_dir), k=_ANN_K)
+
+
+O_ANN_BRUTEFORCE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {_NUM_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+       CAST(floor(cos * 1000000000) AS BIGINT) AS cos_ppb
+FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+def _planes_sql_list(planes: list[list[float]]) -> list[str]:
+    return ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_lsh(
+        emb, _queries_df(spark, sf_dir), dim=_DIM, k=_ANN_K, num_planes=_NUM_PLANES
+    )
+
+
+def _ann_lsh_oracle() -> str:
+    planes = similarity._hyperplanes(_DIM, _NUM_PLANES, seed=7)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_planes_sql_list(planes))
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v, ({bucket_terms}) AS bucket FROM base
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE vec_id < {_NUM_QUERIES}
+), scored AS (
+  SELECT q.query_id, b.vec_id,
+         list_dot_product(b.v, q.qv)
+           / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM bucketed b JOIN q USING (bucket)
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+       CAST(floor(cos * 1000000000) AS BIGINT) AS cos_ppb
+FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+_NEARDUP_THRESHOLD = 0.9
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(
+        emb, dim=_DIM, threshold=_NEARDUP_THRESHOLD, num_planes=_NUM_PLANES
+    )
+
+
+def _near_dup_oracle() -> str:
+    planes = similarity._hyperplanes(_DIM, _NUM_PLANES, seed=7)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_planes_sql_list(planes))
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v, ({bucket_terms}) AS bucket FROM base
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM bucketed a JOIN bucketed b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, CAST(floor(cos * 1000000000) AS BIGINT) AS cos_ppb
+FROM pairs WHERE cos >= {_NEARDUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (stubbed codec; schema/batching real -> rows-only)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark, sf_dir):
+    media = multimodal.synthetic_media(spark, n=64)
+    return multimodal.extract_features(media).select(
+        "media_id", "kind", "payload_sha256", "payload_bytes"
+    )
+
+
+def q_frame_sample_plan(spark, sf_dir):
+    media = multimodal.synthetic_media(spark, n=64)
+    return multimodal.frame_sample_plan(media).select(
+        "media_id", "frame_idx", "frame_ts_ms"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+TRAINING_QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "doc_quality": q_doc_quality,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_docs": q_simhash_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "ann_cosine_topk": q_ann_bruteforce,
+    "ann_cosine_lsh": q_ann_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
+    "multimodal_features": q_multimodal_features,
+    "frame_sample_plan": q_frame_sample_plan,
+}
+
+TRAINING_ORACLES = {
+    "exact_dedup": O_EXACT_DEDUP,
+    "doc_quality": O_DOC_QUALITY,
+    "token_counts": O_TOKEN_COUNTS,
+    "lang_id": _lang_id_oracle(),
+    "ngram_jaccard_pairs": O_NGRAM_JACCARD,
+    # minhash/simhash/fingerprint: xxhash64-based -> rows-only driver check
+    "ann_cosine_topk": O_ANN_BRUTEFORCE,
+    "ann_cosine_lsh": _ann_lsh_oracle(),
+    "embedding_near_dup": _near_dup_oracle(),
+    # multimodal: pandas-UDF stub features -> rows-only
+}

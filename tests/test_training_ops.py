@@ -1,0 +1,115 @@
+"""Property tests for the training-data operators (beyond the oracle gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_telemetry_opentelemetry_collector_contrib_spark.functions import (
+    dedupe,
+    multimodal,
+    similarity,
+)
+from open_telemetry_opentelemetry_collector_contrib_spark.functions import text as text_fns
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup
+        (3, base.replace("today", "tomorrow")),  # near dup (1 word changed)
+        (4, "completely different content about spark shuffle partitions and skew"),
+        (5, "another unrelated document mentioning catalyst optimizer rules only"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_lsh_finds_near_dups(near_dup_docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedupe.minhash_lsh_pairs(near_dup_docs, n=3).collect()
+    }
+    assert (1, 2) in pairs  # exact dup always collides in every band
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup collides in some band
+    assert (4, 5) not in pairs  # unrelated docs do not
+
+
+def test_minhash_approximates_jaccard(near_dup_docs):
+    sigs = {r.doc_id: r.signature for r in dedupe.minhash_signatures(near_dup_docs).collect()}
+    est_12 = sum(a == b for a, b in zip(sigs[1], sigs[2])) / len(sigs[1])
+    est_14 = sum(a == b for a, b in zip(sigs[1], sigs[4])) / len(sigs[1])
+    assert est_12 == 1.0
+    assert est_14 < 0.3
+
+
+def test_simhash_hamming_ordering(near_dup_docs):
+    sh = {r.doc_id: r.simhash for r in dedupe.simhash(near_dup_docs).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert sh[1] == sh[2]
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
+
+
+def test_exact_dedup_counts(near_dup_docs):
+    out = {r.keeper_id: r.dup_count for r in dedupe.exact_dedup(near_dup_docs).collect()}
+    assert out[1] == 2  # docs 1+2 collapse, keeper = min id
+    assert len(out) == 4
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    # LSH top-k should agree with brute force on the nearest neighbors that
+    # share the query's bucket; rank-1 must always be the query itself.
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk_bruteforce(emb, q, k=5).collect()
+    approx = similarity.cosine_topk_lsh(emb, q, dim=64, k=5).collect()
+    exact_r1 = {r.query_id: r.vec_id for r in exact if r.rank == 1}
+    approx_r1 = {r.query_id: r.vec_id for r in approx if r.rank == 1}
+    assert exact_r1 == {0: 0, 1: 1, 2: 2}
+    assert approx_r1 == exact_r1
+    # every LSH hit must carry the same score the exact path computed
+    exact_scores = {(r.query_id, r.vec_id): r.cos_ppb for r in exact}
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact_scores:
+            assert exact_scores[(r.query_id, r.vec_id)] == r.cos_ppb
+
+
+def test_lang_id_basic(spark):
+    rows = [
+        (1, "the cat and the dog went to the park for a walk in the sun"),
+        (2, "el perro y el gato en la casa de los abuelos por la tarde"),
+        (3, "zzzz qqqq xxxx"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.lang for r in df.select("doc_id", text_fns.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "und"
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=12)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 12
+    by_id = {r.media_id: r for r in feats}
+    assert all(len(r.feature) == multimodal.FEATURE_DIM for r in feats)
+    # deterministic: same payload -> same feature
+    again = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert by_id[0].feature == again[0].feature
+    assert by_id[0].payload_sha256 == again[0].payload_sha256
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    media = multimodal.synthetic_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        multimodal.extract_features(media, decode_mode="real").collect()
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synthetic_media(spark, n=9)
+    plan = multimodal.frame_sample_plan(media, every_ms=500).collect()
+    assert all(r.frame_ts_ms == r.frame_idx * 500 for r in plan)
+    videos = media.filter(F.col("kind") == "video").collect()
+    expected = sum(max(v.duration_ms // 500, 1) for v in videos)
+    assert len(plan) == expected
