@@ -1,0 +1,120 @@
+"""Golden end-to-end pipeline tests: routed-row equality per sink, aggregate
+count parity, lineage metrics, and mid-run resume."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_telemetry_opentelemetry_collector_contrib_spark.plans import pipeline
+from open_telemetry_opentelemetry_collector_contrib_spark.plans.runner import (
+    PipelineRunner,
+    materialize_transcripts,
+)
+from tests.conftest import SF_UNIT
+
+
+@pytest.fixture(scope="module")
+def run_out(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipeline_out"))
+    src = materialize_transcripts(spark, SF_UNIT, os.path.join(out, "src"), num_files=8)
+    runner = PipelineRunner(spark, src, out, num_chunks=4)
+    results = runner.run(resume=False)
+    return runner, results
+
+
+def test_all_chunks_committed(run_out):
+    runner, results = run_out
+    assert len(results) == 4
+    assert runner.completed_chunks() == {0, 1, 2, 3}
+
+
+def test_metrics_accounting(run_out):
+    runner, results = run_out
+    total_in = sum(r.metrics["rows_in"] for r in results)
+    assert total_in == 1000  # sf0.001 events rows
+    for r in results:
+        assert r.metrics["rows_in"] == r.metrics["rows_parsed"] + r.metrics["rows_malformed"]
+        assert r.metrics["rows_in"] == sum(
+            r.metrics[f"route_{s}"] for s in pipeline.SINKS
+        )
+
+
+def test_routed_row_equality_per_sink(run_out, spark):
+    """Per-sink rows byte-equal to the flagship (unchunked) route stage,
+    under the canonical (conv_id, turn_idx) ordering."""
+    runner, _ = run_out
+    expected = pipeline.routed(spark, SF_UNIT)
+    for sink in pipeline.SINKS:
+        exp = sorted(
+            (r.conv_id, r.turn_idx, r.text)
+            for r in expected.filter(F.col("route") == sink)
+            .select("conv_id", "turn_idx", "text")
+            .collect()
+        )
+        got = sorted(
+            (r.conv_id, r.turn_idx, r.text)
+            for r in runner.read_sink(sink).select("conv_id", "turn_idx", "text").collect()
+        )
+        assert got == exp, f"sink {sink}: routed rows differ"
+
+
+def test_sink_files_are_ordered_within_partitions(run_out):
+    """The written parquet preserves (conv_id, turn_idx) order within each
+    file — the stable-ordering contract for byte-equal text comparison."""
+    import pyarrow.parquet as pq
+
+    runner, _ = run_out
+    sink_dir = os.path.join(runner.out_dir, "sinks", "route=human")
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(sink_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["conv_id", "turn_idx"]).to_pandas()
+        key = list(zip(t.conv_id, t.turn_idx))
+        assert key == sorted(key), f"unordered rows in {f}"
+
+
+def test_aggregate_count_parity(run_out, spark):
+    runner, _ = run_out
+    got = {
+        (r.window_id, r.route, r.conv_id, r.role, r.tool): r.n
+        for r in runner.read_counts().collect()
+    }
+    exp = {
+        (r.window_id, r.route, r.conv_id, r.role, r.tool): r.n
+        for r in pipeline.sink_counts(spark, SF_UNIT).collect()
+    }
+    assert got == exp
+
+
+def test_resume_skips_completed_and_reruns_failed(run_out, spark):
+    runner, _ = run_out
+    # simulate a crash after chunk 2's data write but before its lineage
+    # commit: delete the lineage record and corrupt the chunk's sink output
+    os.remove(runner._lineage_path(2))
+    results = runner.run(resume=True)
+    assert [r.chunk_id for r in results] == [2]
+    assert runner.completed_chunks() == {0, 1, 2, 3}
+    # full outputs still match the golden expectation after the re-run
+    expected = pipeline.routed(spark, SF_UNIT).count()
+    got = sum(runner.read_sink(s).count() for s in pipeline.SINKS)
+    assert got == expected
+
+
+def test_lineage_records_are_json_with_files(run_out):
+    runner, _ = run_out
+    recs = [
+        json.load(open(os.path.join(runner.lineage_dir, f)))
+        for f in sorted(os.listdir(runner.lineage_dir))
+    ]
+    assert all(r["status"] == "committed" for r in recs)
+    all_files = [f for r in recs for f in r["files"]]
+    assert len(all_files) == len(set(all_files))  # disjoint chunk lineage
