@@ -1,0 +1,121 @@
+"""Structured Streaming parity for the transcript pipeline.
+
+The reference is a streaming system (receivers push batches through the
+processor chain). Our batch stage functions are stateless DF -> DF programs,
+so they lift unchanged onto ``readStream``:
+
+    readStream(parquet dir) -> parse -> enrich(broadcast dims) -> route
+        -> watermarked windowed counts -> sink (foreachBatch / parquet)
+
+Mapping of the reference's streaming-only concepts (SURVEY.md §2.12):
+- batch-unit aggregation  -> event-time tumbling window + watermark
+- interval flush timers   -> trigger(processingTime=...) / availableNow
+- staleness eviction      -> watermark-driven state GC
+- offset checkpointing    -> Structured Streaming checkpointLocation
+- logdedup interval       -> dropDuplicatesWithinWatermark on the dedup key
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..datagen import role_dim, tool_dim
+from ..operators import enrich as enrich_ops
+from ..operators import parse as parse_ops
+from ..operators.route import with_route_first_match
+from ..plans import pipeline as flagship
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def stream_source(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream source over a transcripts parquet directory (the filelog
+    receiver analog: new files are discovered per trigger and offsets live in
+    the streaming checkpoint — `receiver/filelogreceiver/filelog.go:17-60`)."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def transform_stream(spark: SparkSession, stream: DataFrame) -> DataFrame:
+    """parse -> enrich -> route; identical code path to the batch pipeline."""
+    df = parse_ops.parse_transcripts(stream)
+    df = enrich_ops.lookup_enrich(df, role_dim(spark), on="role")
+    df = enrich_ops.lookup_enrich(df, tool_dim(spark), on="tool")
+    df = enrich_ops.upsert(
+        df, "tool_category", F.coalesce(F.col("tool_category"), F.lit("unknown"))
+    )
+    return with_route_first_match(df, flagship.routing_table())
+
+
+def windowed_sink_counts(
+    routed: DataFrame, window: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """countconnector under streaming: watermarked tumbling-window counts
+    keyed (route, conv_id, role, tool); late rows beyond the watermark are
+    dropped (the reference has no event-time lateness concept — arrival
+    order wins there; here the watermark bounds state)."""
+    return (
+        routed.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            "route",
+            "conv_id",
+            "role",
+            "tool",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "route",
+            "conv_id",
+            "role",
+            "tool",
+            "n",
+        )
+    )
+
+
+def streaming_dedup(routed: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """logdedup under streaming: exact-duplicate suppression within the
+    watermark horizon (state GC'd automatically)."""
+    return routed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["role", "tool", "action", "status", "level"]
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 day",
+) -> None:
+    """Drain everything currently in src_dir through the full pipeline into
+    parquet, then stop (the batch-parity execution mode; restart with the
+    same checkpoint to process only new files)."""
+    routed = transform_stream(spark, stream_source(spark, src_dir))
+    counts = windowed_sink_counts(routed, window=window)
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,73 @@
+"""Structured Streaming parity tests: the streaming pipeline over a file
+source must reproduce the batch pipeline's routed counts."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_telemetry_opentelemetry_collector_contrib_spark.plans import pipeline
+from open_telemetry_opentelemetry_collector_contrib_spark.plans.runner import (
+    materialize_transcripts,
+)
+from open_telemetry_opentelemetry_collector_contrib_spark.streaming import stream as st
+from tests.conftest import SF_UNIT
+
+
+@pytest.fixture(scope="module")
+def transcripts_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stream_src"))
+    return materialize_transcripts(spark, SF_UNIT, out, num_files=6)
+
+
+def test_streaming_counts_match_batch(spark, transcripts_dir):
+    routed = st.transform_stream(spark, st.stream_source(spark, transcripts_dir))
+    counts = st.windowed_sink_counts(routed)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("stream_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start_s // 86400, r.route, r.conv_id, r.role, r.tool): r.n
+        for r in spark.sql("select * from stream_counts").collect()
+    }
+    exp = {
+        (r.window_id, r.route, r.conv_id, r.role, r.tool): r.n
+        for r in pipeline.sink_counts(spark, SF_UNIT).collect()
+    }
+    assert got == exp
+
+
+def test_streaming_checkpoint_no_reprocessing(spark, transcripts_dir, tmp_path):
+    out = str(tmp_path / "counts_out")
+    ckpt = str(tmp_path / "ckpt")
+    st.run_available_now(spark, transcripts_dir, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    # restart with the same checkpoint and no new files: nothing reprocessed
+    st.run_available_now(spark, transcripts_dir, out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1
+
+
+def test_streaming_dedup_bounded_output(spark, transcripts_dir):
+    routed = st.transform_stream(spark, st.stream_source(spark, transcripts_dir))
+    deduped = st.streaming_dedup(routed)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "select role, tool, action, status, level, count(*) c "
+        "from stream_dedup group by all having count(*) > 1"
+    ).collect()
+    assert rows == []  # every surviving key combination is unique
