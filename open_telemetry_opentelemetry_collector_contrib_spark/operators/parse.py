@@ -58,6 +58,85 @@ def parse_transcripts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# stanza parser family (`pkg/stanza/operator/parser/*`)
+# ---------------------------------------------------------------------------
+
+# RFC3164: "<34>Oct 11 22:14:15 host app[123]: message"
+SYSLOG_RFC3164_RE = (
+    r"^<(\d{1,3})>([A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2}) (\S+) ([^\s:\[]+)(?:\[(\d+)\])?: (.*)$"
+)
+
+SEVERITY_ALIASES = {
+    # stanza severity alias table (`pkg/stanza/operator/helper/severity_builder.go:39-55`)
+    "trace": 1, "debug": 5, "info": 9, "notice": 10, "warn": 13, "warning": 13,
+    "error": 17, "err": 17, "alert": 18, "crit": 21, "critical": 21,
+    "fatal": 21, "emerg": 24, "emergency": 24,
+}
+
+
+def severity_number(text_col: Column) -> Column:
+    """stanza severity parser: alias text -> numeric severity (0 unknown)."""
+    low = F.lower(text_col)
+    expr = F.lit(0)
+    branches = [
+        F.when(low == alias, F.lit(num)) for alias, num in SEVERITY_ALIASES.items()
+    ]
+    return F.coalesce(*branches, F.lit(0))
+
+
+def parse_syslog_rfc3164(df: DataFrame, text_col: str = "text", year: int = 2024) -> DataFrame:
+    """stanza syslog parser (RFC3164 subset): priority -> facility/severity,
+    timestamp (year-less, pinned to ``year``), host, app, pid, message."""
+    text = F.col(text_col)
+    pri = F.regexp_extract(text, SYSLOG_RFC3164_RE, 1).cast("int")
+    return (
+        df.withColumn("syslog_facility", (pri / 8).cast("int"))
+        .withColumn("syslog_severity", F.pmod(pri, F.lit(8)).cast("int"))
+        .withColumn(
+            "syslog_ts",
+            F.to_timestamp(
+                F.concat(
+                    F.lit(str(year)),
+                    F.lit(" "),
+                    F.regexp_extract(text, SYSLOG_RFC3164_RE, 2),
+                ),
+                "yyyy MMM d HH:mm:ss",
+            ),
+        )
+        .withColumn("syslog_host", F.nullif(F.regexp_extract(text, SYSLOG_RFC3164_RE, 3), F.lit("")))
+        .withColumn("syslog_app", F.nullif(F.regexp_extract(text, SYSLOG_RFC3164_RE, 4), F.lit("")))
+        .withColumn("syslog_pid", F.nullif(F.regexp_extract(text, SYSLOG_RFC3164_RE, 5), F.lit("")).cast("long"))
+        .withColumn("syslog_msg", F.nullif(F.regexp_extract(text, SYSLOG_RFC3164_RE, 6), F.lit("")))
+    )
+
+
+# docker json-file log line: {"log":"...","stream":"stdout","time":"..."}
+def parse_container_docker(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """stanza container parser, docker format
+    (`pkg/stanza/operator/parser/container/parser.go:25-41`)."""
+    text = F.col(text_col)
+    return (
+        df.withColumn("container_log", F.get_json_object(text, "$.log"))
+        .withColumn("container_stream", F.get_json_object(text, "$.stream"))
+        .withColumn(
+            "container_time",
+            F.to_timestamp(F.get_json_object(text, "$.time")),
+        )
+    )
+
+
+def parse_uri(df: DataFrame, uri_col: str, prefix: str = "uri_") -> DataFrame:
+    """stanza uri parser: decompose into scheme/host/port/path/query map."""
+    u = F.col(uri_col)
+    return (
+        df.withColumn(f"{prefix}scheme", F.parse_url(u, F.lit("PROTOCOL")))
+        .withColumn(f"{prefix}host", F.parse_url(u, F.lit("HOST")))
+        .withColumn(f"{prefix}path", F.parse_url(u, F.lit("PATH")))
+        .withColumn(f"{prefix}query", F.parse_url(u, F.lit("QUERY")))
+    )
+
+
 def parse_fields(
     df: DataFrame,
     field_patterns: dict[str, tuple[str, str]],

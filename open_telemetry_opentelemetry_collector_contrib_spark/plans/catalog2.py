@@ -1,0 +1,424 @@
+"""Second operator-catalog wave: redaction, trace family, metrics transform,
+stanza parsers — each with a DuckDB oracle where SQL can express it."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import datagen
+from ..operators import metricstransform as mt
+from ..operators import parse as parse_ops
+from ..operators import redact as redact_ops
+from ..operators import traces as trace_ops
+from ..sources.tables import load_table
+from . import pipeline
+from .catalog import _PARSED_CTE, _PREFIX
+
+# ---------------------------------------------------------------------------
+# redaction (map allowlist + value masking)
+# ---------------------------------------------------------------------------
+
+_BLOCKED = [r"payload [0-9]+"]
+
+
+def _attrs_map(df):
+    """attributes map from parsed fields, null values omitted (pdata maps
+    never hold nil values)."""
+    entries = [
+        F.when(
+            F.col(k).isNotNull(),
+            F.struct(F.lit(k).alias("key"), F.col(k).alias("value")),
+        )
+        for k in ("action", "status", "msg")
+    ]
+    return F.map_from_entries(
+        F.filter(F.array(*entries), lambda x: x.isNotNull())
+    )
+
+
+def q_redact_attributes(spark, sf_dir):
+    df = pipeline.parsed(spark, sf_dir).withColumn("attributes", _attrs_map(None))
+    out = redact_ops.redact(
+        df, allowed_keys=["action", "msg"], blocked_values=_BLOCKED
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.element_at("attributes", "action").alias("action_out"),
+        F.element_at("attributes", "msg").alias("msg_out"),
+        "redaction_masked_count",
+        "redaction_masked_keys",
+    )
+
+
+O_REDACT = (
+    _PREFIX
+    + _PARSED_CTE
+    + r"""
+SELECT conv_id, turn_idx,
+       action AS action_out,
+       CASE WHEN regexp_matches(msg, 'payload [0-9]+') THEN '****' ELSE msg END AS msg_out,
+       CAST(CASE WHEN coalesce(regexp_matches(msg, 'payload [0-9]+'), FALSE) THEN 1 ELSE 0 END AS BIGINT)
+         AS redaction_masked_count,
+       CASE WHEN coalesce(regexp_matches(msg, 'payload [0-9]+'), FALSE) THEN 'msg' ELSE '' END
+         AS redaction_masked_keys
+FROM parsed
+"""
+)
+
+# ---------------------------------------------------------------------------
+# trace family (spans derived from transcripts)
+# ---------------------------------------------------------------------------
+
+_SPANS_CTE = (
+    _PARSED_CTE
+    + """
+, spans AS (
+  SELECT conv_id AS trace_id,
+         conv_id || '#' || CAST(turn_idx AS VARCHAR) AS span_id,
+         lag(conv_id || '#' || CAST(turn_idx AS VARCHAR))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS parent_span_id,
+         role AS service, status, latency_ms AS duration_ms, ts, turn_idx
+  FROM parsed
+)
+"""
+)
+
+
+def _spans(spark, sf_dir):
+    return trace_ops.spanify_transcripts(pipeline.parsed(spark, sf_dir))
+
+
+def q_group_by_trace(spark, sf_dir):
+    out = trace_ops.group_by_trace(_spans(spark, sf_dir))
+    return out.select(
+        "trace_id",
+        "span_count",
+        F.array_join("span_ids", ",").alias("span_ids"),
+        "max_duration_ms",
+        "error_spans",
+    )
+
+
+O_GROUP_BY_TRACE = (
+    _PREFIX
+    + _SPANS_CTE
+    + """
+SELECT trace_id, count(*) AS span_count,
+       string_agg(span_id, ',' ORDER BY turn_idx) AS span_ids,
+       max(duration_ms) AS max_duration_ms,
+       CAST(sum(CASE WHEN status = 'err' THEN 1 ELSE 0 END) AS BIGINT) AS error_spans
+FROM spans GROUP BY trace_id
+"""
+)
+
+
+def q_tail_sampling(spark, sf_dir):
+    """latency + error policies, probabilistic share = 0 (deterministic)."""
+    out = trace_ops.tail_sample(
+        _spans(spark, sf_dir), latency_threshold_ms=2000, sample_percent=0.0
+    )
+    return out.select("trace_id", "span_id")
+
+
+O_TAIL_SAMPLING = (
+    _PREFIX
+    + _SPANS_CTE
+    + """
+, keep AS (
+  SELECT trace_id FROM spans
+  GROUP BY trace_id
+  HAVING max(CASE WHEN status = 'err' THEN 1 ELSE 0 END) = 1
+      OR coalesce(max(duration_ms) > 2000, FALSE)
+)
+SELECT s.trace_id, s.span_id FROM spans s JOIN keep USING (trace_id)
+"""
+)
+
+
+def q_service_graph(spark, sf_dir):
+    return trace_ops.service_graph(_spans(spark, sf_dir))
+
+
+O_SERVICE_GRAPH = (
+    _PREFIX
+    + _SPANS_CTE
+    + """
+, edges AS (
+  SELECT c.service AS client, s.service AS server, s.status, s.duration_ms
+  FROM spans c
+  JOIN spans s ON s.parent_span_id = c.span_id AND s.trace_id = c.trace_id
+)
+SELECT client, server,
+       count(*) AS request_count,
+       CAST(sum(CASE WHEN status = 'err' THEN 1 ELSE 0 END) AS BIGINT) AS failed_count,
+       CAST(sum(duration_ms) AS BIGINT) AS duration_sum_ms,
+       max(duration_ms) AS duration_max_ms
+FROM edges GROUP BY 1, 2
+"""
+)
+
+
+def q_exceptions(spark, sf_dir):
+    return trace_ops.exceptions_connector(pipeline.parsed(spark, sf_dir))
+
+
+O_EXCEPTIONS = (
+    _PREFIX
+    + _PARSED_CTE
+    + """
+SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS window_id,
+       role AS service, action AS exception_type, count(*) AS exception_count
+FROM parsed WHERE level = 'ERROR'
+GROUP BY 1, 2, 3
+"""
+)
+
+# ---------------------------------------------------------------------------
+# metricstransform / metricsgeneration
+# ---------------------------------------------------------------------------
+
+_SERIES_SQL = """
+SELECT user_id, event_type AS metric_name, CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _series(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("vi", F.floor(F.col("value") * 1000).cast("bigint"))
+        .groupBy("user_id", F.col("event_type").alias("metric_name"))
+        .agg(F.sum("vi").alias("value"))
+    )
+
+
+def q_metrics_calculate(spark, sf_dir):
+    out = mt.calculate(
+        _series(spark, sf_dir),
+        keys=["user_id"],
+        metric_name_col="metric_name",
+        value_col="value",
+        metric1="purchase",
+        metric2="view",
+        operation="percent",
+        new_metric="purchase_view_pct",
+    )
+    return out.select(
+        "user_id",
+        "metric_name",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("value_milli"),
+    )
+
+
+O_METRICS_CALCULATE = f"""
+WITH series AS ({_SERIES_SQL}),
+pivoted AS (
+  SELECT user_id,
+         max(CASE WHEN metric_name = 'purchase' THEN value END) AS purchase,
+         max(CASE WHEN metric_name = 'view' THEN value END) AS view_v
+  FROM series GROUP BY user_id
+)
+SELECT user_id, 'purchase_view_pct' AS metric_name,
+       CAST(floor(CAST(purchase AS DOUBLE) / view_v * 100.0 * 1000) AS BIGINT) AS value_milli
+FROM pivoted
+WHERE view_v IS NOT NULL AND view_v != 0 AND purchase IS NOT NULL
+"""
+
+
+def q_aggregate_labels(spark, sf_dir):
+    return mt.aggregate_labels(
+        _series(spark, sf_dir), keep_labels=["metric_name"], value_col="value"
+    )
+
+
+O_AGGREGATE_LABELS = f"""
+WITH series AS ({_SERIES_SQL})
+SELECT metric_name, CAST(sum(value) AS BIGINT) AS value FROM series GROUP BY 1
+"""
+
+
+def q_aggregate_label_values(spark, sf_dir):
+    return mt.aggregate_label_values(
+        _series(spark, sf_dir),
+        label="metric_name",
+        from_values=["click", "view"],
+        to_value="interaction",
+        keys=["user_id"],
+        value_col="value",
+    )
+
+
+O_AGGREGATE_LABEL_VALUES = f"""
+WITH series AS ({_SERIES_SQL})
+SELECT CASE WHEN metric_name IN ('click', 'view') THEN 'interaction' ELSE metric_name END AS metric_name,
+       user_id, CAST(sum(value) AS BIGINT) AS value
+FROM series GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# stanza parsers over deterministically constructed lines
+# ---------------------------------------------------------------------------
+
+_SYSLOG_LINE = (
+    "'<' || CAST(event_id % 192 AS {STR}) || '>Oct ' || CAST(1 + event_id % 28 AS {STR})"
+    " || ' 22:14:' || lpad(CAST(event_id % 60 AS {STR}), 2, '0')"
+    " || ' host-' || CAST(user_id AS {STR}) || ' app' || CAST(user_id AS {STR})"
+    " || '[' || CAST(event_id AS {STR}) || ']: ' || event_type"
+)
+
+
+def q_syslog_parse(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    line = _SYSLOG_LINE.replace("{STR}", "STRING")
+    df = spark.sql(f"SELECT event_id, {line} AS text FROM events")
+    out = parse_ops.parse_syslog_rfc3164(df)
+    return out.select(
+        "event_id", "syslog_facility", "syslog_severity",
+        F.unix_timestamp("syslog_ts").alias("syslog_ts_s"),
+        "syslog_host", "syslog_app", "syslog_pid", "syslog_msg",
+    )
+
+
+def _syslog_oracle() -> str:
+    line = _SYSLOG_LINE.replace("{STR}", "VARCHAR")
+    return f"""
+WITH lines AS (
+  SELECT event_id, {line} AS text FROM events
+), p AS (
+  SELECT event_id,
+    CAST(regexp_extract(text, '^<(\\d+)>', 1) AS INT) AS pri,
+    regexp_extract(text, '^<\\d+>([A-Z][a-z][a-z] +\\d+ \\d\\d:\\d\\d:\\d\\d)', 1) AS rawts,
+    regexp_extract(text, '^<\\d+>[A-Z][a-z][a-z] +\\d+ \\d\\d:\\d\\d:\\d\\d (\\S+)', 1) AS host,
+    regexp_extract(text, ' (\\w+)\\[', 1) AS app,
+    CAST(regexp_extract(text, '\\[(\\d+)\\]', 1) AS BIGINT) AS pid,
+    regexp_extract(text, '\\]: (.*)$', 1) AS msg
+  FROM lines
+)
+SELECT event_id,
+  CAST(pri // 8 AS INT) AS syslog_facility,
+  CAST(pri % 8 AS INT) AS syslog_severity,
+  CAST(floor(epoch(strptime('2024 ' || regexp_replace(rawts, ' +', ' '), '%Y %b %-d %H:%M:%S'))) AS BIGINT) AS syslog_ts_s,
+  host AS syslog_host, app AS syslog_app, pid AS syslog_pid, msg AS syslog_msg
+FROM p
+"""
+
+
+def q_severity_map(spark, sf_dir):
+    df = pipeline.parsed(spark, sf_dir)
+    return df.select(
+        "conv_id", "turn_idx",
+        parse_ops.severity_number(F.lower(F.col("level"))).alias("severity_number"),
+    )
+
+
+O_SEVERITY_MAP = (
+    _PREFIX
+    + _PARSED_CTE
+    + """
+SELECT conv_id, turn_idx,
+       CASE lower(level) WHEN 'info' THEN 9 WHEN 'error' THEN 17
+            WHEN 'warn' THEN 13 WHEN 'debug' THEN 5 ELSE 0 END AS severity_number
+FROM parsed
+"""
+)
+
+
+def q_container_parse(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.concat(
+            F.lit('{"log":"evt ' ), F.col("event_type"), F.lit('","stream":"'),
+            F.when(F.col("event_id") % 2 == 0, "stdout").otherwise("stderr"),
+            F.lit('","time":"2024-01-01T00:00:00Z"}'),
+        ).alias("text"),
+    )
+    out = parse_ops.parse_container_docker(df)
+    return out.select(
+        "event_id", "container_log", "container_stream",
+        F.unix_timestamp("container_time").alias("container_time_s"),
+    )
+
+
+O_CONTAINER_PARSE = """
+WITH lines AS (
+  SELECT event_id,
+    '{"log":"evt ' || event_type || '","stream":"'
+      || CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END
+      || '","time":"2024-01-01T00:00:00Z"}' AS text
+  FROM events
+)
+SELECT event_id,
+  json_extract_string(text, '$.log') AS container_log,
+  json_extract_string(text, '$.stream') AS container_stream,
+  CAST(floor(epoch(CAST(json_extract_string(text, '$.time') AS TIMESTAMP))) AS BIGINT)
+    AS container_time_s
+FROM lines
+"""
+
+
+def q_uri_parse(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("https://svc-"), F.col("user_id").cast("string"),
+            F.lit(".example.com/api/"), F.col("event_type"),
+            F.lit("?k="), F.col("event_id").cast("string"),
+        ).alias("uri"),
+    )
+    out = parse_ops.parse_uri(df, "uri")
+    return out.select("event_id", "uri_scheme", "uri_host", "uri_path", "uri_query")
+
+
+O_URI_PARSE = """
+WITH lines AS (
+  SELECT event_id,
+    'https://svc-' || CAST(user_id AS VARCHAR) || '.example.com/api/' || event_type
+      || '?k=' || CAST(event_id AS VARCHAR) AS uri
+  FROM events
+)
+SELECT event_id,
+  regexp_extract(uri, '^([a-z]+)://', 1) AS uri_scheme,
+  regexp_extract(uri, '^[a-z]+://([^/?]+)', 1) AS uri_host,
+  regexp_extract(uri, '^[a-z]+://[^/?]+(/[^?]*)', 1) AS uri_path,
+  regexp_extract(uri, '\\?(.*)$', 1) AS uri_query
+FROM lines
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+CATALOG2_QUERIES = {
+    "redact_attributes": q_redact_attributes,
+    "group_by_trace": q_group_by_trace,
+    "tail_sampling": q_tail_sampling,
+    "service_graph": q_service_graph,
+    "exceptions_connector": q_exceptions,
+    "metrics_calculate": q_metrics_calculate,
+    "aggregate_labels": q_aggregate_labels,
+    "aggregate_label_values": q_aggregate_label_values,
+    "syslog_parse": q_syslog_parse,
+    "severity_map": q_severity_map,
+    "container_parse": q_container_parse,
+    "uri_parse": q_uri_parse,
+}
+
+CATALOG2_ORACLES = {
+    "redact_attributes": O_REDACT,
+    "group_by_trace": O_GROUP_BY_TRACE,
+    "tail_sampling": O_TAIL_SAMPLING,
+    "service_graph": O_SERVICE_GRAPH,
+    "exceptions_connector": O_EXCEPTIONS,
+    "metrics_calculate": O_METRICS_CALCULATE,
+    "aggregate_labels": O_AGGREGATE_LABELS,
+    "aggregate_label_values": O_AGGREGATE_LABEL_VALUES,
+    "syslog_parse": _syslog_oracle(),
+    "severity_map": O_SEVERITY_MAP,
+    "container_parse": O_CONTAINER_PARSE,
+    "uri_parse": O_URI_PARSE,
+}
