@@ -70,3 +70,40 @@ def extract(df: DataFrame, source: str, pattern: str, groups: list[str]) -> Data
 
 def convert(df: DataFrame, col: str, to_type: str) -> DataFrame:
     return df.withColumn(col, F.col(col).cast(to_type))
+
+
+def apply_attribute_actions(df: DataFrame, actions: list[dict]) -> DataFrame:
+    """Config-driven action list — the attributesprocessor contract
+    (`processor/attributesprocessor/config.go`, actions applied in order,
+    `attraction.go:110-139`). Each action dict:
+
+      {action: insert|update|upsert|delete|hash|extract|convert,
+       key: <column>, value: <literal> | from_attribute: <column> |
+       pattern: <regex> (extract) | converted_type: <type> (convert)}
+    """
+    for a in actions:
+        kind = a["action"]
+        key = a.get("key")
+        if "from_attribute" in a:
+            value = F.col(a["from_attribute"])
+        elif "value" in a:
+            value = F.lit(a["value"])
+        else:
+            value = None
+        if kind == "insert":
+            df = insert(df, key, value)
+        elif kind == "update":
+            df = update(df, key, value)
+        elif kind == "upsert":
+            df = upsert(df, key, value)
+        elif kind == "delete":
+            df = delete(df, [key])
+        elif kind == "hash":
+            df = hash_attr(df, key)
+        elif kind == "extract":
+            df = extract(df, key, a["pattern"], a["groups"])
+        elif kind == "convert":
+            df = convert(df, key, a["converted_type"])
+        else:
+            raise ValueError(f"unknown attributes action {kind!r}")
+    return df
