@@ -320,6 +320,47 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
         return TypedCol(
             F.map_from_entries(F.filter(F.array(*entries), lambda x: x.isNotNull())), "map"
         )
+    if name == "UserAgent":
+        # semconv decomposition (func_user_agent.go wraps the uap library);
+        # common-browser regex heuristics keep this JVM-side and deterministic
+        ua = val(0).col
+        browser_name = F.coalesce(
+            F.when(ua.rlike(r"Edg/"), F.lit("Edge")),
+            F.when(ua.rlike(r"OPR/|Opera"), F.lit("Opera")),
+            F.when(ua.rlike(r"Chrome/"), F.lit("Chrome")),
+            F.when(ua.rlike(r"Firefox/"), F.lit("Firefox")),
+            F.when(ua.rlike(r"Safari/"), F.lit("Safari")),
+            F.when(ua.rlike(r"curl/"), F.lit("curl")),
+            F.lit("Other"),
+        )
+        version = F.nullif(
+            F.regexp_extract(
+                ua, r"(?:Edg|OPR|Chrome|Firefox|Version|curl)/([0-9][0-9.]*)", 1
+            ),
+            F.lit(""),
+        )
+        os_name = F.coalesce(
+            F.when(ua.rlike(r"Windows NT"), F.lit("Windows")),
+            F.when(ua.rlike(r"Android"), F.lit("Android")),
+            F.when(ua.rlike(r"iPhone|iPad"), F.lit("iOS")),
+            F.when(ua.rlike(r"Mac OS X"), F.lit("macOS")),
+            F.when(ua.rlike(r"Linux"), F.lit("Linux")),
+            F.lit("Other"),
+        )
+        pairs = [
+            ("user_agent.original", ua),
+            ("user_agent.name", browser_name),
+            ("user_agent.version", version),
+            ("os.name", os_name),
+        ]
+        entries = [
+            F.when(c.isNotNull(), F.struct(F.lit(k).alias("key"), c.alias("value")))
+            for k, c in pairs
+        ]
+        return TypedCol(
+            F.map_from_entries(F.filter(F.array(*entries), lambda x: x.isNotNull())),
+            "map",
+        )
     raise OTTLCompileError(f"unknown converter {name}")
 
 

@@ -390,6 +390,40 @@ FROM lines
 
 
 # ---------------------------------------------------------------------------
+# countconnector required-key skip + default_value (`counter.go:70-73`)
+# ---------------------------------------------------------------------------
+
+
+def q_count_with_defaults(spark, sf_dir):
+    from ..operators.aggregate import windowed_count
+
+    df = pipeline.parsed(spark, sf_dir).withColumn(
+        "tool_key", F.nullif(F.col("tool"), F.lit(""))
+    )
+    # 'action' is required (malformed rows lack it -> skipped);
+    # 'tool_key' missing -> default 'none'
+    return windowed_count(
+        df,
+        keys=["action", "tool_key"],
+        window_s=86400,
+        defaults={"tool_key": "none"},
+    )
+
+
+O_COUNT_WITH_DEFAULTS = (
+    _PREFIX
+    + _PARSED_CTE
+    + """
+SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS window_id,
+       action, coalesce(nullif(tool, ''), 'none') AS tool_key, count(*) AS n
+FROM parsed
+WHERE action IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -406,6 +440,7 @@ CATALOG2_QUERIES = {
     "severity_map": q_severity_map,
     "container_parse": q_container_parse,
     "uri_parse": q_uri_parse,
+    "count_with_defaults": q_count_with_defaults,
 }
 
 CATALOG2_ORACLES = {
@@ -421,4 +456,5 @@ CATALOG2_ORACLES = {
     "severity_map": O_SEVERITY_MAP,
     "container_parse": O_CONTAINER_PARSE,
     "uri_parse": O_URI_PARSE,
+    "count_with_defaults": O_COUNT_WITH_DEFAULTS,
 }

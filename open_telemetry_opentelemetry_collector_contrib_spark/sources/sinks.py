@@ -1,0 +1,67 @@
+"""Sink writers — fileexporter semantics onto tables.
+
+The reference's fileexporter writes JSON/proto files with rotation and a
+``group_by`` attribute fan-out (`exporter/fileexporter/config.go:22-55`,
+`grouping_file_exporter.go:116-152`). The table-engine analog:
+
+- primary: **Iceberg tables** (atomic snapshot commits give the
+  exactly-once/rotation semantics for free) when an Iceberg catalog is on
+  the classpath;
+- fallback: parquet directories (this container ships no Iceberg runtime —
+  detection is automatic and the API is identical).
+
+``group_by`` -> ``partitionBy``; deterministic row order inside files is the
+caller's job (repartition + sortWithinPartitions BEFORE calling, and do not
+combine with partitionBy, whose writer re-sorts by partition columns
+unstably — see plans/runner.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_table(
+    df: DataFrame,
+    target: str,
+    mode: str = "overwrite",
+    group_by: list[str] | None = None,
+    fmt: str = "auto",
+) -> None:
+    """Write to an Iceberg table (``catalog.db.table`` target) when
+    available, else a parquet directory (path target)."""
+    spark = df.sparkSession
+    use_iceberg = fmt == "iceberg" or (
+        fmt == "auto" and "/" not in target and iceberg_available(spark)
+    )
+    if use_iceberg:
+        writer = df.writeTo(target)
+        if group_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in group_by])
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    w = df.write.mode(mode)
+    if group_by:
+        w = w.partitionBy(*group_by)
+    w.parquet(target)
+
+
+def read_table(spark: SparkSession, target: str) -> DataFrame:
+    if "/" not in target and iceberg_available(spark):
+        return spark.read.table(target)
+    return spark.read.parquet(target)

@@ -275,6 +275,56 @@ def test_converters(logs, expr, expected):
         assert got == expected, expr
 
 
+def test_cache_scratch_sequencing(logs):
+    """cache is a per-record scratch map (ottllog/log.go:203-207): written by
+    one statement, read by a later one, dropped before write."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.ottl.compiler import finish
+
+    df = apply_statements(
+        logs,
+        [
+            'set(cache["orig"], body)',
+            'set(body, ConvertCase(body, "upper"))',
+            'set(restored, cache["orig"])',
+        ],
+    )
+    row = one(df)
+    assert row.text == "OPERATIONA"
+    assert row.restored == "operationA"
+    assert not [c for c in finish(df).columns if c.startswith("__cache_")]
+
+
+def test_duration_and_time_math(logs):
+    df = apply_statement(logs, 'set(out, Seconds(Duration("1m30s")))')
+    assert one(df).out == 90.0
+    df2 = apply_statement(logs, 'set(out, Milliseconds(Duration("2s")))')
+    assert one(df2).out == 2000.0
+
+
+@pytest.mark.parametrize(
+    "ua,name,os_name",
+    [
+        (
+            "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/91.0.4472.124 Safari/537.36",
+            "Chrome",
+            "Windows",
+        ),
+        ("curl/8.1.2", "curl", "Other"),
+        (
+            "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",
+            "Firefox",
+            "Linux",
+        ),
+    ],
+)
+def test_user_agent_converter(spark, ua, name, os_name):
+    df = spark.createDataFrame([(ua,)], ["ua"])
+    out = apply_statement(df, "set(parsed, UserAgent(ua))").collect()[0].parsed
+    assert out["user_agent.name"] == name
+    assert out["os.name"] == os_name
+    assert out["user_agent.original"] == ua
+
+
 def test_md5_matches_reference_known_value(spark):
     # e2e corpus asserts MD5("pass") on a known string
     df = spark.createDataFrame([("pass",)], ["v"])

@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: the plan shapes that make this engine
+viable at 100 TB must not silently regress."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_telemetry_opentelemetry_collector_contrib_spark.plans import pipeline
+from tests.conftest import SF_UNIT
+
+
+def explain(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_flagship_counts_plan_shape(spark):
+    plan = explain(pipeline.sink_counts(spark, SF_UNIT))
+    tree = plan.split("\n\n")[0]  # the operator tree (details repeat names)
+    # single scan of the fact table
+    assert tree.count("Scan parquet") == 1
+    # enrichment joins broadcast; never a sort-merge join
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in tree
+    # exactly one shuffle: the partial->final hash aggregate
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+    assert tree.count("HashAggregate") == 2
+
+
+def test_parse_stage_stays_one_projection_no_shuffle(spark, tmp_path):
+    # over a materialized transcripts table (the production input shape);
+    # the synthetic derivation itself needs a row_number window, which is
+    # datagen, not pipeline
+    from open_telemetry_opentelemetry_collector_contrib_spark.datagen import transcripts
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators import parse as p
+
+    path = str(tmp_path / "t0")
+    transcripts(spark, SF_UNIT).write.parquet(path)
+    plan = explain(p.parse_transcripts(spark.read.parquet(path)))
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_pruning_reaches_scan(spark, tmp_path):
+    from open_telemetry_opentelemetry_collector_contrib_spark.datagen import transcripts
+
+    path = str(tmp_path / "t")
+    transcripts(spark, SF_UNIT).write.parquet(path)
+    df = spark.read.parquet(path).select("conv_id", "turn_idx")
+    plan = explain(df)
+    assert "ReadSchema: struct<conv_id:string,turn_idx:int>" in plan
+    assert "text" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    from open_telemetry_opentelemetry_collector_contrib_spark.datagen import transcripts
+
+    path = str(tmp_path / "t2")
+    transcripts(spark, SF_UNIT).write.parquet(path)
+    df = spark.read.parquet(path).filter(F.col("role") == "tool")
+    plan = explain(df)
+    assert "PushedFilters: [IsNotNull(role), EqualTo(role,tool)]" in plan
+
+
+def test_whole_stage_codegen_covers_parse(spark):
+    df = pipeline.parsed(spark, SF_UNIT)
+    codegen = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    )
+    # at least one generated subtree and it spans the scan+parse projection
+    assert "WholeStageCodegen" in codegen
+
+
+def test_sinks_fallback_roundtrip(spark, tmp_path):
+    from open_telemetry_opentelemetry_collector_contrib_spark.sources import sinks
+
+    df = pipeline.routed(spark, SF_UNIT).select("conv_id", "turn_idx", "route")
+    target = str(tmp_path / "sink_out")
+    sinks.write_table(df, target, group_by=["route"])
+    back = sinks.read_table(spark, target)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
