@@ -111,14 +111,13 @@ def span_metrics(
     histogram as an array of counters (delta temporality)."""
     bounds = buckets or DEFAULT_BUCKETS_MS
     n = len(bounds) + 1
+    # one scalar bucket index per row, then n conditional sums — no per-row
+    # array materialization (a one-hot array per row costs n cells x rows of
+    # allocation before the partial agg; conditional sums fold map-side)
     idx = explicit_bucket_index(F.col(duration_col).cast("double"), bounds)
-    one_hot = F.transform(
-        F.sequence(F.lit(0), F.lit(n - 1)),
-        lambda i: F.when(i == idx, F.lit(1)).otherwise(F.lit(0)).cast("long"),
-    )
     return (
         df.withColumn("window_id", tumbling_window_id(F.col(ts_col), window_s))
-        .withColumn("__bucket_onehot", one_hot)
+        .withColumn("__bucket_idx", idx)
         .groupBy("window_id", *dims)
         .agg(
             F.count(F.lit(1)).alias("calls"),
@@ -126,7 +125,9 @@ def span_metrics(
             F.min(F.col(duration_col).cast("double")).alias("duration_min"),
             F.max(F.col(duration_col).cast("double")).alias("duration_max"),
             F.array(*[
-                F.sum(F.element_at("__bucket_onehot", i + 1)).alias(f"b{i}")
+                F.sum(
+                    F.when(F.col("__bucket_idx") == i, F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"b{i}")
                 for i in range(n)
             ]).alias("bucket_counts"),
         )

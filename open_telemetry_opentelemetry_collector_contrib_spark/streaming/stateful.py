@@ -1,0 +1,90 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference's stateful processors keep per-stream in-memory state with
+staleness eviction:
+- deltatocumulativeprocessor: running sum per stream identity, ``max_stale``
+  eviction, ``max_streams`` cap (`processor/deltatocumulativeprocessor/config.go:19-31`);
+- cumulativetodeltaprocessor: previous-value memory per stream.
+
+Structured Streaming analog: ``applyInPandasWithState`` with GroupState —
+state = the running sum per stream key, eviction = state timeout. Batch
+parity lives in operators/metrics.py (window functions); this module is the
+streaming-native path for unbounded inputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("vi", T.LongType()),
+        T.StructField("cumulative", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType([T.StructField("running", T.LongType())])
+
+
+def _d2c_fn(
+    key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-stream running sum; state survives across micro-batches."""
+    running = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cum = pdf["vi"].cumsum() + running
+        running = int(cum.iloc[-1]) if len(cum) else running
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_type": pdf["event_type"],
+                "event_id": pdf["event_id"],
+                "vi": pdf["vi"],
+                "cumulative": cum.astype("int64"),
+            }
+        )
+    state.update((running,))
+
+
+def delta_to_cumulative_stream(events: DataFrame, max_stale_ms: int | None = None) -> DataFrame:
+    """Streaming deltatocumulative over (user_id, event_type) streams.
+
+    Input: streaming frame with (user_id, event_type, event_id, vi, ts).
+    ``max_stale_ms``: optional state eviction (the reference's max_stale);
+    off by default — a ProcessingTime timeout keeps the query ticking, which
+    never terminates under availableNow drains.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if max_stale_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    fn = _d2c_fn if not max_stale_ms else _d2c_with_timeout(max_stale_ms)
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def _d2c_with_timeout(max_stale_ms: int):
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        out = list(_d2c_fn(key, pdf_iter, state))
+        state.setTimeoutDuration(max_stale_ms)
+        return iter(out)
+
+    return fn
