@@ -113,8 +113,11 @@ def scaling_worker(cores: int) -> None:
     spark = get_spark(app_name=f"bench-scaling-{cores}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
     run_e2e_on_scaled(spark)  # warm: JVM, codegen, parquet footers
-    secs = min(run_e2e_on_scaled(spark) for _ in range(2))
-    print(json.dumps({"cores": cores, "sec": round(secs, 4)}))
+    # min of 3: this sandbox shares the host with other tenants, so
+    # individual runs absorb external load spikes; the min approximates the
+    # uncontended time (which is what executor scaling actually measures)
+    secs = min(run_e2e_on_scaled(spark) for _ in range(3))
+    print(json.dumps({"cores": cores, "sec": round(secs, 4), "load1": os.getloadavg()[0]}))
     spark.stop()
 
 
@@ -138,7 +141,9 @@ def run_scaling(sf_dir: str, rep: int) -> dict:
             timeout=1200,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        out[cores] = json.loads(line)["sec"]
+        rec = json.loads(line)
+        out[cores] = rec["sec"]
+        out[f"load1_{cores}"] = rec.get("load1")
     return out
 
 
@@ -196,6 +201,10 @@ def main() -> None:
                     "sec_high": times[SCALE_HIGH],
                     "tps_high": round(tps_high, 1),
                     "efficiency": round(efficiency, 3),
+                    "ext_load1": {
+                        "low": times.get(f"load1_{SCALE_LOW}"),
+                        "high": times.get(f"load1_{SCALE_HIGH}"),
+                    },
                 },
             }
         )

@@ -274,6 +274,10 @@ def _compile_comparison(node: Comparison, ctx: LogContext) -> Column:
         return a.eqNullSafe(b)
     if node.op == "!=":
         return ~a.eqNullSafe(b)
+    # bools support only ==/!= in OTTL; orderings are "not comparable" false
+    # (LANGUAGE.md:261-285 — Spark would order false < true)
+    if lb == "bool" and rb == "bool":
+        return F.lit(False)
     cmp = {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[node.op]
     # NULL operand -> false, like the reference's "not comparable -> false"
     return F.coalesce(cmp, F.lit(False))
