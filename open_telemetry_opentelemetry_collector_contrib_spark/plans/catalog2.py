@@ -424,6 +424,67 @@ GROUP BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# signaltometrics / multi-metric-def count connector
+# ---------------------------------------------------------------------------
+
+
+def q_signal_to_metrics(spark, sf_dir):
+    from ..operators.signaltometrics import MetricDef, signal_to_metrics
+
+    df = pipeline.parsed(spark, sf_dir)
+    out = signal_to_metrics(
+        df,
+        [
+            MetricDef(
+                "turns.count",
+                kind="count",
+                conditions=["parse_ok == true"],
+                keys=["role", "action"],
+            ),
+            MetricDef(
+                "latency.total", kind="sum", keys=["role"], source="latency_ms"
+            ),
+        ],
+        window_s=86400,
+    )
+    dims_str = F.array_join(
+        F.transform(
+            F.map_entries("dims"), lambda e: F.concat(e["key"], F.lit("="), e["value"])
+        ),
+        ",",
+    )
+    return out.select(
+        "metric_name",
+        "window_id",
+        dims_str.alias("dims"),
+        F.floor("value").cast("bigint").alias("value_i"),
+    )
+
+
+O_SIGNAL_TO_METRICS = (
+    _PREFIX
+    + _PARSED_CTE
+    + """
+SELECT 'turns.count' AS metric_name,
+       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS window_id,
+       'role=' || role || ',action=' || action AS dims,
+       count(*) AS value_i
+FROM parsed
+WHERE level IS NOT NULL AND role IS NOT NULL AND action IS NOT NULL
+GROUP BY 2, 3
+UNION ALL
+SELECT 'latency.total',
+       CAST(floor(epoch(ts) / 86400) AS BIGINT),
+       'role=' || role,
+       CAST(floor(sum(CAST(latency_ms AS DOUBLE))) AS BIGINT)
+FROM parsed
+WHERE role IS NOT NULL
+GROUP BY 2, 3
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -441,6 +502,7 @@ CATALOG2_QUERIES = {
     "container_parse": q_container_parse,
     "uri_parse": q_uri_parse,
     "count_with_defaults": q_count_with_defaults,
+    "signal_to_metrics": q_signal_to_metrics,
 }
 
 CATALOG2_ORACLES = {
@@ -457,4 +519,5 @@ CATALOG2_ORACLES = {
     "container_parse": O_CONTAINER_PARSE,
     "uri_parse": O_URI_PARSE,
     "count_with_defaults": O_COUNT_WITH_DEFAULTS,
+    "signal_to_metrics": O_SIGNAL_TO_METRICS,
 }
