@@ -264,6 +264,15 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
         return TypedCol(h, "string")
     if name == "Base64Decode":
         return TypedCol(F.unbase64(val(0).col).cast("string"), "string")
+    if name == "Decode":
+        encoding = _lit_of(args[1], "Decode encoding") if len(args) > 1 else "base64"
+        if encoding in ("base64", "base64-raw", "base64-url"):
+            return TypedCol(F.unbase64(val(0).col).cast("string"), "string")
+        if encoding in ("hex",):
+            return TypedCol(F.unhex(val(0).col).cast("string"), "string")
+        if encoding in ("us-ascii", "utf8", "utf-8"):
+            return TypedCol(val(0).col.cast("string"), "string")
+        raise OTTLCompileError(f"Decode: unsupported encoding {encoding!r}")
     if name == "Time":
         fmt = strptime_to_java(_lit_of(args[1], "Time format"))
         return TypedCol(F.to_timestamp(val(0).col, fmt), "time")
