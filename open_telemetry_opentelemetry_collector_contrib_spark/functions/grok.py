@@ -39,6 +39,13 @@ BASE_PATTERNS: dict[str, str] = {
     "QUOTEDSTRING": r"(?:\"(?:\\.|[^\\\"])*\")",
     "URIPROTO": r"[A-Za-z][A-Za-z0-9+\-.]+",
     "PATH": r"(?:/[\w_%!$@:.,+~-]*)+",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "COMMONAPACHELOG": (
+        r'%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \[%{HTTPDATE:timestamp}\]'
+        r' "(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})"'
+        r" %{NONNEGINT:response} (?:%{NONNEGINT:bytes}|-)"
+    ),
+    "IPORHOST": r"(?:(?:25[0-5]|2[0-4][0-9]|[0-1]?[0-9]{1,2})(?:\.(?:25[0-5]|2[0-4][0-9]|[0-1]?[0-9]{1,2})){3}|\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b)",
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?\}")
@@ -84,3 +91,37 @@ def grok_to_regex(
 def grok_group_names(pattern: str, **kw) -> list[str]:
     regex = grok_to_regex(pattern, **kw)
     return re.findall(r"\(\?P<([A-Za-z0-9]+)>", regex)
+
+
+def grok_parse_pandas(df, pattern: str, text_col: str = "text", prefix: str = "", **kw):
+    """Single-pass grok extraction as an Arrow-batched pandas UDF.
+
+    The native path (ottl ExtractGrokPatterns -> one regexp_extract per
+    group) evaluates the regex k times per row JVM-side; this path compiles
+    the expanded regex once per executor and matches each row once,
+    returning all groups — the better trade once group count is large. This
+    is the reference's ExtractGrokPatterns execution model
+    (`pkg/ottl/ottlfuncs/func_extract_grok_patterns.go:17-22`) vectorized
+    over Arrow batches.
+
+    Returns df + one string column per named group (prefix + group name).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    regex = grok_to_regex(pattern, **kw)
+    names = re.findall(r"\(\?P<([A-Za-z0-9]+)>", regex)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(prefix + n, T.StringType()) for n in names]
+    )
+
+    def batches(it):
+        compiled = re.compile(regex)
+        for pdf in it:
+            extracted = pdf[text_col].str.extract(compiled)
+            extracted.columns = [prefix + n for n in names]
+            yield pd.concat([pdf.reset_index(drop=True), extracted.reset_index(drop=True)], axis=1)
+
+    return df.mapInPandas(batches, out_schema)

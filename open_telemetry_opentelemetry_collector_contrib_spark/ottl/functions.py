@@ -548,6 +548,47 @@ def call_editor(df: DataFrame, call: FuncCall, ctx: LogContext, cond: Column | N
         return df.withColumn(key, _guarded(new, old, cond))
 
     if name == "flatten":
-        raise OTTLCompileError("flatten: nested-map flattening not yet implemented")
+        # reference flattens nested pcommon.Map values into dotted keys
+        # (func_flatten.go). Our typed frames nest via StructType: flatten a
+        # struct column into a map<string,string> with dotted keys; a map
+        # target is already flat (no-op).
+        from pyspark.sql import types as T
+
+        target = args[0]
+        kind, key = ctx.target_kind(target)
+        named = dict(call.named)
+        prefix = ""
+        if named.get("prefix") is not None:
+            prefix = _lit_of(named["prefix"], "flatten prefix") + "."
+        dtype = ctx.schema.get(key)
+        if isinstance(dtype, T.MapType):
+            return df
+        if not isinstance(dtype, T.StructType):
+            raise OTTLCompileError("flatten requires a struct or map column")
+
+        def walk(col: Column, st: T.StructType, pre: str):
+            pairs = []
+            for f in st.fields:
+                child = col[f.name]
+                if isinstance(f.dataType, T.StructType):
+                    pairs += walk(child, f.dataType, f"{pre}{f.name}.")
+                else:
+                    pairs.append((f"{pre}{f.name}", child.cast("string")))
+            return pairs
+
+        pairs = walk(F.col(key), dtype, prefix)
+        new = F.map_from_entries(
+            F.filter(
+                F.array(
+                    *[
+                        F.when(c.isNotNull(), F.struct(F.lit(k).alias("key"), c.alias("value")))
+                        for k, c in pairs
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            )
+        )
+        old = F.col(key)
+        return df.withColumn(key, _guarded(new, old, cond))
 
     raise OTTLCompileError(f"unknown editor {name}")

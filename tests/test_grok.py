@@ -1,0 +1,60 @@
+"""Grok compiler + pandas-UDF single-pass parser tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_telemetry_opentelemetry_collector_contrib_spark.functions import grok
+from open_telemetry_opentelemetry_collector_contrib_spark.ottl import apply_statement
+
+APACHE_LINE = (
+    '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+    '"GET /apache_pb.gif HTTP/1.0" 200 2326'
+)
+
+
+def test_common_apache_log_pattern(spark):
+    df = spark.createDataFrame([(APACHE_LINE,)], ["text"])
+    out = grok.grok_parse_pandas(df, "%{COMMONAPACHELOG}", "text").collect()[0]
+    assert out.clientip == "127.0.0.1"
+    assert out.auth == "frank"
+    assert out.verb == "GET"
+    assert out.request == "/apache_pb.gif"
+    assert out.response == "200"
+    assert out.bytes == "2326"
+
+
+def test_pandas_path_matches_native_path(spark):
+    rows = [(f"user u{i} id {i * 7}",) for i in range(50)] + [("no match here",)]
+    df = spark.createDataFrame(rows, ["text"])
+    pattern = "user %{WORD:user} id %{INT:id}"
+    pandas_out = {
+        r.text: (r.user, r.id)
+        for r in grok.grok_parse_pandas(df, pattern, "text").collect()
+    }
+    native = apply_statement(
+        df, f'set(m, ExtractGrokPatterns(text, "{pattern.replace(chr(34), "")}"))'
+    )
+    native_out = {
+        r.text: (r.m.get("user") if r.m else None, r.m.get("id") if r.m else None)
+        for r in native.collect()
+    }
+    for k, v in native_out.items():
+        assert pandas_out[k] == v, k
+
+
+def test_unknown_pattern_raises():
+    with pytest.raises(grok.GrokError, match="unknown grok pattern"):
+        grok.grok_to_regex("%{NOPE:x}")
+
+
+def test_flatten_struct_column(spark):
+    df = spark.createDataFrame(
+        [(1, ("a", (2, "b")))],
+        "id int, s struct<x:string, inner:struct<n:int, m:string>>",
+    )
+    out = apply_statement(df, "flatten(s)").collect()[0]
+    assert out.s == {"x": "a", "inner.n": "2", "inner.m": "b"}
+    out2 = apply_statement(df, 'flatten(s, prefix = "pre")').collect()[0]
+    assert "pre.x" in out2.s
