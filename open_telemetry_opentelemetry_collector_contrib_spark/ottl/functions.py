@@ -176,6 +176,9 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
         a = val(0)
         if a.t == "time":
             return TypedCol(F.date_format(a.col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"), "string")
+        if a.t in ("map", "slice"):
+            # reference renders maps/slices as JSON (func_string.go)
+            return TypedCol(F.to_json(a.col), "string")
         return TypedCol(a.col.cast("string"), "string")
     if name in ("IsBool", "IsInt", "IsDouble", "IsString", "IsMap", "IsList"):
         return _is_type(val(0), name[2:])
@@ -302,6 +305,12 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
         return TypedCol(fn(val(0).col).cast("long"), "int")
     if name == "Seconds":
         return TypedCol(val(0).col.cast("double"), "float")
+    if name == "Minutes":
+        return TypedCol(val(0).col.cast("double") / 60.0, "float")
+    if name == "Hours":
+        return TypedCol(val(0).col.cast("double") / 3600.0, "float")
+    if name == "Days":
+        return TypedCol(val(0).col.cast("double") / 86400.0, "float")
     if name == "Milliseconds":
         return TypedCol(val(0).col.cast("double") * 1000, "float")
     if name == "Microseconds":
@@ -329,6 +338,14 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
         return TypedCol(
             F.map_from_entries(F.filter(F.array(*entries), lambda x: x.isNotNull())), "map"
         )
+    if name == "ParseSimplifiedXML":
+        from ..functions.xmlfns import parse_simplified_xml
+
+        return TypedCol(parse_simplified_xml(val(0).col), "map")
+    if name == "GetXML":
+        from ..functions.xmlfns import get_xml
+
+        return TypedCol(get_xml(val(0).col, _lit_of(args[1], "GetXML xpath")), "string")
     if name == "UserAgent":
         # semconv decomposition (func_user_agent.go wraps the uap library);
         # common-browser regex heuristics keep this JVM-side and deterministic

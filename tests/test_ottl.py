@@ -325,6 +325,25 @@ def test_user_agent_converter(spark, ua, name, os_name):
     assert out["user_agent.original"] == ua
 
 
+def test_xml_converters(spark):
+    xml = "<log><level>warn</level><msg>disk <b>full</b></msg><tag>a</tag><tag>b</tag></log>"
+    df = spark.createDataFrame([(xml,), ("not xml",)], ["x"])
+    out = apply_statement(df, "set(m, ParseSimplifiedXML(x))")
+    rows = {r.x: r.m for r in out.collect()}
+    assert rows[xml]["log.level"] == "warn"
+    assert rows[xml]["log.tag[0]"] == "a" and rows[xml]["log.tag[1]"] == "b"
+    assert rows["not xml"] is None
+    out2 = apply_statement(df, 'set(lvl, GetXML(x, "level"))')
+    assert {r.lvl for r in out2.collect()} == {"warn", None}
+
+
+def test_string_of_map_and_minutes(logs):
+    df = apply_statement(logs, 'set(out, String(ParseJSON("{\\"a\\": 1}")))')
+    assert one(df).out == '{"a":"1"}'
+    df2 = apply_statement(logs, 'set(out, Minutes(Duration("90s")))')
+    assert one(df2).out == 1.5
+
+
 def test_md5_matches_reference_known_value(spark):
     # e2e corpus asserts MD5("pass") on a known string
     df = spark.createDataFrame([("pass",)], ["v"])
