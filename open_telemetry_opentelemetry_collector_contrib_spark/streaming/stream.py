@@ -98,6 +98,47 @@ def streaming_dedup(routed: DataFrame, watermark: str = "1 day") -> DataFrame:
     )
 
 
+def route_fan_out_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming routing-connector fan-out: every micro-batch is routed once
+    and written per sink (the full exporter fan-out under streaming).
+
+    foreachBatch is the streaming analog of the runner's
+    group-before-dispatch: one routed frame per batch, per-sink filtered
+    writes off a cache, batch id recorded for idempotent replay.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    routed_stream = transform_stream(spark, stream_source(spark, src_dir))
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        cached = (
+            batch_df.repartition(F.col("conv_id"))
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .persist()
+        )
+        for sink in flagship.SINKS:
+            dst = os.path.join(out_dir, f"route={sink}", f"batch={batch_id:05d}")
+            cached.filter(F.col("route") == sink).drop("route").write.mode(
+                "overwrite"
+            ).parquet(dst)
+        cached.unpersist()
+
+    q = (
+        routed_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     spark: SparkSession,
     src_dir: str,

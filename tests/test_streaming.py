@@ -55,6 +55,19 @@ def test_streaming_checkpoint_no_reprocessing(spark, transcripts_dir, tmp_path):
     assert n2 == n1
 
 
+def test_streaming_route_fan_out(spark, transcripts_dir, tmp_path):
+    out = str(tmp_path / "fanout")
+    ckpt = str(tmp_path / "fanout_ckpt")
+    st.route_fan_out_stream(spark, transcripts_dir, out, ckpt)
+    total = 0
+    for sink in pipeline.SINKS:
+        got = spark.read.parquet(f"{out}/route={sink}")
+        exp = pipeline.routed(spark, SF_UNIT).filter(F.col("route") == sink)
+        assert got.count() == exp.count(), sink
+        total += got.count()
+    assert total == 1000
+
+
 def test_streaming_dedup_bounded_output(spark, transcripts_dir):
     routed = st.transform_stream(spark, st.stream_source(spark, transcripts_dir))
     deduped = st.streaming_dedup(routed)
