@@ -137,6 +137,76 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 13,
+) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer partitions the corpus; each
+    query searches only its ``nprobe`` nearest centroids' inverted lists.
+
+    Scale: the corpus is clustered once (MLlib KMeans, seeded/deterministic
+    given fixed partitioning of the training sample) and stored partitioned
+    by cluster id — a query touches nprobe/num_clusters of the data, and the
+    cluster column enables partition pruning on the stored table. Recall
+    trades with nprobe; `cosine_topk_bruteforce` is the exact oracle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window
+
+    corpus = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")
+    ).withColumn("__features", array_to_vector(F.col("__cv")))
+    model = KMeans(k=num_clusters, seed=seed, featuresCol="__features").fit(corpus)
+    assigned = model.transform(corpus).withColumnRenamed("prediction", "__cluster")
+
+    centroids = [list(c) for c in model.clusterCenters()]
+
+    def _dist2(vec: Column, center: list[float]) -> Column:
+        carr = F.array(*[F.lit(float(x)) for x in center])
+        diff = F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    # nprobe nearest centroids per query (small: centroids are driver-side)
+    dists = F.array(
+        *[
+            F.struct(_dist2(F.col("__qv"), c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = F.slice(F.array_sort(dists), 1, nprobe)
+    q_probed = q.withColumn(
+        "__cluster", F.explode(F.transform(probes, lambda s: s["c"]))
+    )
+
+    scored = assigned.join(F.broadcast(q_probed), "__cluster").withColumn(
+        "__cos", cosine(F.col("__cv"), F.col("__qv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "rank",
+            F.floor(F.col("__cos") * 1_000_000_000).cast("bigint").alias("cos_ppb"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,

@@ -61,6 +61,26 @@ def write_table(
     w.parquet(target)
 
 
+def write_with_failover(
+    df: DataFrame,
+    targets: list[str],
+    mode: str = "overwrite",
+    group_by: list[str] | None = None,
+) -> str:
+    """failoverconnector analog (`connector/failoverconnector/`): try sinks
+    in priority order, first successful write wins; returns the target that
+    accepted the data. The reference retries upstream sinks on an interval —
+    at batch granularity every run naturally re-attempts from the top."""
+    last_err: Exception | None = None
+    for target in targets:
+        try:
+            write_table(df, target, mode=mode, group_by=group_by)
+            return target
+        except Exception as e:  # noqa: BLE001 — any sink failure falls over
+            last_err = e
+    raise RuntimeError(f"all failover sinks failed, last error: {last_err}")
+
+
 def read_table(spark: SparkSession, target: str) -> DataFrame:
     if "/" not in target and iceberg_available(spark):
         return spark.read.table(target)

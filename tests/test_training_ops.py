@@ -77,6 +77,37 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
             assert exact_scores[(r.query_id, r.vec_id)] == r.cos_ppb
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk_bruteforce(emb, q, k=5).collect()
+    ivf = similarity.cosine_topk_ivf(emb, q, k=5, num_clusters=8, nprobe=3).collect()
+    exact_r1 = {r.query_id: r.vec_id for r in exact if r.rank == 1}
+    ivf_r1 = {r.query_id: r.vec_id for r in ivf if r.rank == 1}
+    # rank-1 is the query itself (cos=1) and must always be recalled:
+    # the query's own cluster is always its nearest centroid
+    assert ivf_r1 == exact_r1
+    # recall@5 against exact top-5 should be high at nprobe=3/8
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(1 for r in ivf if r.vec_id in exact_sets[r.query_id])
+    assert hits / len(exact) >= 0.6
+
+
+def test_failover_sink(spark, tmp_path):
+    from open_telemetry_opentelemetry_collector_contrib_spark.sources import sinks
+
+    df = spark.range(10).withColumnRenamed("id", "v")
+    good = str(tmp_path / "good")
+    # /proc is a real unwritable filesystem even for root
+    used = sinks.write_with_failover(df, ["/proc/no_such_sink/out", good])
+    assert used == good
+    assert spark.read.parquet(good).count() == 10
+
+
 def test_lang_id_basic(spark):
     rows = [
         (1, "the cat and the dog went to the park for a walk in the sun"),
