@@ -320,6 +320,22 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
     if name == "Sort":
         order = _lit_of(args[1], "Sort order") if len(args) > 1 else "asc"
         return TypedCol(F.sort_array(val(0).col, asc=(order == "asc")), "slice")
+    if name == "SliceToMap":
+        # slice of maps -> map keyed by the key_path value; entry value is
+        # the element rendered as JSON (func_slice_to_map.go)
+        key_path = _lit_of(args[1], "SliceToMap key path")
+        arr = val(0).col
+        entries = F.transform(
+            arr,
+            lambda x: F.struct(
+                F.element_at(x, F.lit(key_path)).alias("key"),
+                F.to_json(x).alias("value"),
+            ),
+        )
+        return TypedCol(
+            F.map_from_entries(F.filter(entries, lambda e: e["key"].isNotNull())),
+            "map",
+        )
     if name == "UUID":
         return TypedCol(F.expr("uuid()"), "string")
     if name == "URL":
@@ -388,6 +404,33 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
             "map",
         )
     raise OTTLCompileError(f"unknown converter {name}")
+
+
+# Registry surface (§2.13 parity: factory map keyed by name,
+# `pkg/ottl/ottlfuncs/functions.go:11-105`) — used for docs/introspection and
+# coverage tests; dispatch lives in call_converter/call_editor.
+REGISTERED_CONVERTERS = frozenset(
+    {
+        "Int", "Double", "String", "Hex", "IsBool", "IsInt", "IsDouble",
+        "IsString", "IsMap", "IsList", "Concat", "ConvertCase", "Split",
+        "Substring", "Format", "Len", "Log", "IsMatch", "ExtractPatterns",
+        "ExtractGrokPatterns", "ParseJSON", "ParseKeyValue", "ParseCSV",
+        "MD5", "SHA1", "SHA256", "SHA512", "FNV", "Base64Decode", "Decode",
+        "Time", "TruncateTime", "Duration", "Now", "UnixSeconds", "UnixMilli",
+        "UnixMicro", "UnixNano", "Unix", "Year", "Month", "Day", "Hour",
+        "Minute", "Seconds", "Minutes", "Hours", "Days", "Sort", "SliceToMap",
+        "UUID", "URL", "UserAgent", "ParseSimplifiedXML", "GetXML",
+    }
+)
+
+REGISTERED_EDITORS = frozenset(
+    {
+        "set", "delete_key", "delete_matching_keys", "keep_keys",
+        "keep_matching_keys", "replace_pattern", "replace_match",
+        "replace_all_matches", "replace_all_patterns", "truncate_all",
+        "limit", "merge_maps", "append", "flatten",
+    }
+)
 
 
 # ---------------------------------------------------------------------------

@@ -260,6 +260,16 @@ FROM ranked WHERE rank <= {_ANN_K}
 _NEARDUP_THRESHOLD = 0.9
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (KMeans quantizer -> nprobe lists); no SQL oracle (MLlib
+    clustering) -> rows-only driver check; recall property-tested in pytest
+    against the exact brute-force twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(
+        emb, _queries_df(spark, sf_dir), k=_ANN_K, num_clusters=8, nprobe=3
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(
@@ -324,6 +334,7 @@ TRAINING_QUERIES = {
     "fingerprint_docs": q_fingerprint_docs,
     "ann_cosine_topk": q_ann_bruteforce,
     "ann_cosine_lsh": q_ann_lsh,
+    "ann_cosine_ivf": q_ann_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
     "frame_sample_plan": q_frame_sample_plan,

@@ -325,6 +325,42 @@ def test_user_agent_converter(spark, ua, name, os_name):
     assert out["user_agent.original"] == ua
 
 
+def test_registry_names_all_dispatchable(spark):
+    """Every registered converter name must be accepted by the dispatcher
+    (unknown names raise) — guards registry/dispatch drift."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.ottl.functions import (
+        REGISTERED_CONVERTERS,
+        REGISTERED_EDITORS,
+        call_converter,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_spark.ottl.ast import FuncCall
+    from open_telemetry_opentelemetry_collector_contrib_spark.ottl.compiler import (
+        LogContext,
+        OTTLCompileError,
+    )
+
+    df = spark.createDataFrame([("x",)], ["v"])
+    ctx = LogContext(df)
+    for name in REGISTERED_CONVERTERS:
+        try:
+            call_converter(FuncCall(name, ()), ctx)
+        except OTTLCompileError as e:
+            assert "unknown converter" not in str(e), name
+        except Exception:
+            pass  # arg errors are fine; the name resolved
+    assert len(REGISTERED_EDITORS) == 14
+
+
+def test_slice_to_map(spark):
+    df = spark.createDataFrame(
+        [(1, [{"name": "a", "v": "1"}, {"name": "b", "v": "2"}])],
+        "id int, arr array<map<string,string>>",
+    )
+    out = apply_statement(df, 'set(m, SliceToMap(arr, "name"))').collect()[0]
+    assert set(out.m) == {"a", "b"}
+    assert '"v":"2"' in out.m["b"]
+
+
 def test_xml_converters(spark):
     xml = "<log><level>warn</level><msg>disk <b>full</b></msg><tag>a</tag><tag>b</tag></log>"
     df = spark.createDataFrame([(xml,), ("not xml",)], ["x"])
