@@ -45,6 +45,11 @@ BENCH_QUERIES = [
     "doc_quality",
     "minhash_lsh_pairs",
     "ann_cosine_topk",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup",
+    "service_graph",
+    "signal_to_metrics",
+    "syslog_parse",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"
