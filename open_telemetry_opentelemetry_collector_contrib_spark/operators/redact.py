@@ -30,7 +30,6 @@ def redact(
 ) -> DataFrame:
     m = F.col(map_col)
     if allowed_keys is not None:
-        keys = [F.lit(k) for k in allowed_keys]
         m_allowed = F.map_filter(m, lambda k, _: k.isin(*allowed_keys))
     else:
         m_allowed = m
