@@ -485,6 +485,68 @@ GROUP BY 2, 3
 
 
 # ---------------------------------------------------------------------------
+# custom joins: CIDR/range lookup (geoip analog) + as-of join (SCD enrich)
+# ---------------------------------------------------------------------------
+
+
+def q_range_lookup(spark, sf_dir):
+    from ..operators.joins import range_lookup
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ip_int", F.pmod(F.col("event_id") * 2654435761, F.lit(100000))
+    )
+    ranges = spark.range(100).select(
+        (F.col("id") * 1000).alias("start"),
+        (F.col("id") * 1000 + 499).alias("end"),
+        F.concat(F.lit("geo-"), F.col("id").cast("string")).alias("geo_label"),
+    )
+    out = range_lookup(ev, ranges, value_col="ip_int", id_col="event_id")
+    return out.select("event_id", "ip_int", "geo_label")
+
+
+O_RANGE_LOOKUP = """
+WITH ev AS (
+  SELECT event_id, (event_id * 2654435761) % 100000 AS ip_int FROM events
+), ranges AS (
+  SELECT r * 1000 AS start_ip, r * 1000 + 499 AS end_ip,
+         'geo-' || CAST(r AS VARCHAR) AS geo_label
+  FROM range(100) t(r)
+)
+SELECT e.event_id, e.ip_int, r.geo_label
+FROM ev e LEFT JOIN ranges r ON e.ip_int BETWEEN r.start_ip AND r.end_ip
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    from ..operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # deterministic SCD: every 10th event changes its user's "tier"
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 == 0)
+        .select(
+            "user_id",
+            "ts",
+            F.concat(F.lit("tier-"), (F.col("event_id") % 3).cast("string")).alias("tier"),
+        )
+    )
+    out = asof_join(ev, dim, key="user_id", ts_col="ts", value_cols=["tier"])
+    return out.select("event_id", "user_id", "tier")
+
+
+O_ASOF_JOIN = """
+WITH dim AS (
+  SELECT user_id, ts, 'tier-' || CAST(event_id % 3 AS VARCHAR) AS tier
+  FROM events WHERE event_id % 10 = 0
+)
+SELECT e.event_id, e.user_id, d.tier
+FROM events e
+ASOF LEFT JOIN dim d ON e.user_id = d.user_id AND e.ts >= d.ts
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -503,6 +565,8 @@ CATALOG2_QUERIES = {
     "uri_parse": q_uri_parse,
     "count_with_defaults": q_count_with_defaults,
     "signal_to_metrics": q_signal_to_metrics,
+    "range_lookup_geoip": q_range_lookup,
+    "asof_join_scd": q_asof_join,
 }
 
 CATALOG2_ORACLES = {
@@ -520,4 +584,6 @@ CATALOG2_ORACLES = {
     "uri_parse": O_URI_PARSE,
     "count_with_defaults": O_COUNT_WITH_DEFAULTS,
     "signal_to_metrics": O_SIGNAL_TO_METRICS,
+    "range_lookup_geoip": O_RANGE_LOOKUP,
+    "asof_join_scd": O_ASOF_JOIN,
 }
