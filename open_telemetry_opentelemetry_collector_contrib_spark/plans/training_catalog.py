@@ -320,6 +320,100 @@ def q_frame_sample_plan(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# composite curation pipeline: quality gate -> language filter -> exact
+# dedup -> near-dup removal (the end-to-end training-data story)
+# ---------------------------------------------------------------------------
+
+_CUR_QUALITY_MIN = 500_000
+_CUR_JACCARD = 0.8
+
+
+def q_curation_pipeline(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_fns.quality_signals(docs).withColumn(
+        "lang_pred", text_fns.lang_id(F.col("text"))
+    )
+    kept = scored.filter(
+        (F.col("quality_ppm") >= _CUR_QUALITY_MIN) & (F.col("lang_pred") == "en")
+    )
+    keepers = dedupe.exact_dedup(kept).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    kept = kept.join(keepers, "doc_id", "left_semi")
+    near = dedupe.ngram_jaccard_pairs(
+        kept, n=_JAC_N, threshold=_CUR_JACCARD, max_shingle_freq=_JAC_MAXFREQ
+    ).select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = kept.join(near, "doc_id", "left_anti")
+    return survivors.select("doc_id")
+
+
+def _curation_oracle() -> str:
+    stop = "|".join(text_fns.STOPWORDS["en"])
+    lang_hits = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(text_fns.STOPWORDS[lang])})\\b'))"
+        for lang in sorted(text_fns.STOPWORDS)
+    }
+    best = f"greatest({', '.join(lang_hits.values())})"
+    lang_pred = (
+        "CASE WHEN " + best + " > 0 THEN CASE "
+        + " ".join(f"WHEN {h} = {best} THEN '{l}'" for l, h in lang_hits.items())
+        + " END ELSE 'und' END"
+    )
+    return rf"""
+WITH q AS (
+  SELECT doc_id, text,
+    CAST(length(text) AS BIGINT) AS n_chars_t,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(regexp_extract_all(lower(text), '\b({stop})\b')) AS n_stop,
+    {lang_pred} AS lang_pred
+  FROM documents
+), r AS (
+  SELECT doc_id, text, lang_pred,
+    CASE WHEN n_chars_t > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_t ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+    CASE WHEN n_tokens > 0 THEN CAST(n_chars_t AS DOUBLE) / n_tokens ELSE 0.0 END AS mwl
+  FROM q
+), gated AS (
+  SELECT doc_id, text FROM r
+  WHERE lang_pred = 'en'
+    AND CAST(floor((least(stop_ratio * 2, 1.0) * 0.5
+        + CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 0.3 ELSE 0.0 END
+        + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END) * 1000000) AS BIGINT)
+        >= {_CUR_QUALITY_MIN}
+), kept AS (
+  SELECT g.doc_id, g.text FROM gated g
+  JOIN (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text) k USING (doc_id)
+), words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM kept
+), sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ws) - {_JAC_N - 1} >= 1
+      THEN [array_to_string(ws[i:i+{_JAC_N - 1}], ' ') for i in range(1, len(ws) - {_JAC_N - 2})]
+      ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM words
+), ex AS (
+  SELECT doc_id, len(shingles) AS shingle_count, unnest(shingles) AS shingle FROM sh
+), freq AS (
+  SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= {_JAC_MAXFREQ}
+), fx AS (
+  SELECT ex.* FROM ex JOIN freq USING (shingle)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.shingle_count AS count_a, b.shingle_count AS count_b, count(*) AS common
+  FROM fx a JOIN fx b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), dupes AS (
+  SELECT DISTINCT id_b AS doc_id FROM pairs
+  WHERE CAST(common AS DOUBLE) / (count_a + count_b - common) >= {_CUR_JACCARD}
+)
+SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -338,6 +432,7 @@ TRAINING_QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
     "frame_sample_plan": q_frame_sample_plan,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 TRAINING_ORACLES = {
@@ -351,4 +446,5 @@ TRAINING_ORACLES = {
     "ann_cosine_lsh": _ann_lsh_oracle(),
     "embedding_near_dup": _near_dup_oracle(),
     # multimodal: pandas-UDF stub features -> rows-only
+    "curation_pipeline": _curation_oracle(),
 }
