@@ -50,7 +50,7 @@ def parse_transcripts(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("msg", _nullable_extract(text, MSG_RE))
         .withColumn(
             "prop_k",
-            F.get_json_object(F.regexp_extract(text, PROPS_RE, 1), "$.k").cast(
+            F.get_json_object(F.regexp_extract(text, PROPS_RE, 1), "$.k").try_cast(
                 "bigint"
             ),
         )
@@ -95,18 +95,18 @@ def parse_syslog_rfc3164(df: DataFrame, text_col: str = "text", year: int = 2024
         .withColumn("syslog_severity", F.pmod(pri, F.lit(8)).cast("int"))
         .withColumn(
             "syslog_ts",
-            F.to_timestamp(
+            F.try_to_timestamp(
                 F.concat(
                     F.lit(str(year)),
                     F.lit(" "),
                     F.regexp_extract(text, SYSLOG_RFC3164_RE, 2),
                 ),
-                "yyyy MMM d HH:mm:ss",
+                F.lit("yyyy MMM d HH:mm:ss"),
             ),
         )
         .withColumn("syslog_host", F.nullif(F.regexp_extract(text, SYSLOG_RFC3164_RE, 3), F.lit("")))
         .withColumn("syslog_app", F.nullif(F.regexp_extract(text, SYSLOG_RFC3164_RE, 4), F.lit("")))
-        .withColumn("syslog_pid", F.nullif(F.regexp_extract(text, SYSLOG_RFC3164_RE, 5), F.lit("")).cast("long"))
+        .withColumn("syslog_pid", F.nullif(F.regexp_extract(text, SYSLOG_RFC3164_RE, 5), F.lit("")).try_cast("long"))
         .withColumn("syslog_msg", F.nullif(F.regexp_extract(text, SYSLOG_RFC3164_RE, 6), F.lit("")))
     )
 
@@ -121,7 +121,7 @@ def parse_container_docker(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("container_stream", F.get_json_object(text, "$.stream"))
         .withColumn(
             "container_time",
-            F.to_timestamp(F.get_json_object(text, "$.time")),
+            F.try_to_timestamp(F.get_json_object(text, "$.time")),
         )
     )
 

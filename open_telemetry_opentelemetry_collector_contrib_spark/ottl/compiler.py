@@ -233,9 +233,10 @@ def _compile_math(node: MathOp, ctx: LogContext) -> TypedCol:
             return TypedCol(a * b, lt)
         if node.op == "/":
             if lt == "int":
-                # Go int division truncates toward zero
-                return TypedCol((a / b).cast("long"), "int")
-            return TypedCol(a / b, "float")
+                # Go int division truncates toward zero; try_divide yields
+                # NULL on /0 instead of an ANSI job failure (error_mode=ignore)
+                return TypedCol(F.try_divide(a, b).cast("long"), "int")
+            return TypedCol(F.try_divide(a, b), "float")
     if lt == "time" and rt == "duration" and node.op in "+-":
         expr = (F.unix_timestamp(left.col).cast("double") + (right.col if node.op == "+" else -right.col))
         return TypedCol(F.timestamp_seconds(expr), "time")

@@ -169,9 +169,11 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
         return compile_value(args[i], ctx)
 
     if name == "Int":
-        return TypedCol(val(0).col.cast("long"), "int")
+        # try_cast: bad input -> nil, not a job failure (error_mode=ignore;
+        # ANSI mode would throw on malformed strings)
+        return TypedCol(val(0).col.try_cast("long"), "int")
     if name == "Double":
-        return TypedCol(val(0).col.cast("double"), "float")
+        return TypedCol(val(0).col.try_cast("double"), "float")
     if name == "String":
         a = val(0)
         if a.t == "time":
@@ -278,7 +280,7 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
         raise OTTLCompileError(f"Decode: unsupported encoding {encoding!r}")
     if name == "Time":
         fmt = strptime_to_java(_lit_of(args[1], "Time format"))
-        return TypedCol(F.to_timestamp(val(0).col, fmt), "time")
+        return TypedCol(F.try_to_timestamp(val(0).col, F.lit(fmt)), "time")
     if name == "TruncateTime":
         dur = parse_go_duration(_lit_of(args[1], "TruncateTime duration"))
         sec = int(dur)

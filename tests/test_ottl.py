@@ -275,6 +275,27 @@ def test_converters(logs, expr, expected):
         assert got == expected, expr
 
 
+def test_error_mode_ignore_yields_nil_not_job_failure(spark):
+    """OTTL error_mode=ignore: per-row conversion failures become nil
+    (`pkg/ottl/parser.go:337-356`). Spark 4 runs ANSI mode, where plain
+    casts would kill the whole job on one malformed row — the compiler must
+    emit try_cast/try_divide/try_to_timestamp."""
+    df = spark.createDataFrame([("abc", 5), ("42", 0)], ["v", "d"])
+    assert {r.v: r.n for r in apply_statement(df, "set(n, Int(v))").collect()} == {
+        "abc": None,
+        "42": 42,
+    }
+    assert {r.v: r.q for r in apply_statement(df, "set(q, 10 / d)").collect()} == {
+        "abc": 2,
+        "42": None,  # division by zero -> nil
+    }
+    out = apply_statement(df, 'set(t, Time(v, "%Y-%m-%d"))').collect()
+    assert all(r.t is None for r in out)
+    assert {r.v: r.x for r in apply_statement(df, "set(x, Double(v))").collect()}[
+        "abc"
+    ] is None
+
+
 def test_cache_scratch_sequencing(logs):
     """cache is a per-record scratch map (ottllog/log.go:203-207): written by
     one statement, read by a later one, dropped before write."""
