@@ -99,6 +99,36 @@ def explicit_bucket_index(value: Column, bounds: list[float]) -> Column:
     )
 
 
+def exp_bucket_index_scale0(value: Column) -> Column:
+    """Base-2 exponential bucket index at scale 0: floor(log2(v)) for v>=1,
+    computed as bit-length-1 (length of the binary representation) — pure
+    integer arithmetic, so engine-exact where float log2 would flip at
+    power-of-two boundaries by one ulp. v<1 -> bucket 0."""
+    v = value.cast("bigint")
+    return F.when(v >= 1, F.length(F.bin(v)) - 1).otherwise(F.lit(0)).cast("int")
+
+
+def span_metrics_exponential(
+    df: DataFrame,
+    dims: list[str],
+    duration_col: str,
+    window_s: int = 3600,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """spanmetrics with exponential-histogram buckets
+    (`connector/spanmetricsconnector/config.go:35-70` histogram.exponential;
+    bucket conversion `connector.go:170,194`). Long format: one row per
+    (window, dims, bucket_idx) with its count — the sparse representation
+    exponential histograms use."""
+    idx = exp_bucket_index_scale0(F.col(duration_col))
+    return (
+        df.withColumn("window_id", tumbling_window_id(F.col(ts_col), window_s))
+        .withColumn("bucket_idx", idx)
+        .groupBy("window_id", *dims, "bucket_idx")
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )
+
+
 def span_metrics(
     df: DataFrame,
     dims: list[str],

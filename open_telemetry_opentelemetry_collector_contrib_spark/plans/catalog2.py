@@ -489,6 +489,28 @@ GROUP BY 2, 3
 # ---------------------------------------------------------------------------
 
 
+def q_span_metrics_exponential(spark, sf_dir):
+    from ..operators.metrics import span_metrics_exponential
+
+    df = pipeline.parsed(spark, sf_dir).filter(F.col("latency_ms").isNotNull())
+    return span_metrics_exponential(df, ["role", "action"], "latency_ms", window_s=86400)
+
+
+O_SPAN_METRICS_EXP = (
+    _PREFIX
+    + _PARSED_CTE
+    + """
+SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS window_id,
+       role, action,
+       CAST(CASE WHEN latency_ms >= 1 THEN length(bin(latency_ms)) - 1 ELSE 0 END AS INT)
+         AS bucket_idx,
+       count(*) AS bucket_count
+FROM parsed WHERE latency_ms IS NOT NULL
+GROUP BY 1, 2, 3, 4
+"""
+)
+
+
 def q_range_lookup(spark, sf_dir):
     from ..operators.joins import range_lookup
 
@@ -567,6 +589,7 @@ CATALOG2_QUERIES = {
     "signal_to_metrics": q_signal_to_metrics,
     "range_lookup_geoip": q_range_lookup,
     "asof_join_scd": q_asof_join,
+    "span_metrics_exponential": q_span_metrics_exponential,
 }
 
 CATALOG2_ORACLES = {
@@ -586,4 +609,5 @@ CATALOG2_ORACLES = {
     "signal_to_metrics": O_SIGNAL_TO_METRICS,
     "range_lookup_geoip": O_RANGE_LOOKUP,
     "asof_join_scd": O_ASOF_JOIN,
+    "span_metrics_exponential": O_SPAN_METRICS_EXP,
 }
