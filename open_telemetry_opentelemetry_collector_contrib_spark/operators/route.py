@@ -32,14 +32,54 @@ DEFAULT_ROUTE = "default"
 class Route:
     name: str
     condition: Column
+    # optional OTTL mutation applied to rows this route claims (a route
+    # statement may mutate, e.g. `delete_key(attributes, "X-Tenant") where
+    # IsMatch(...)` — `connector/routingconnector/README.md:83-98`)
+    mutation: str | None = None
 
 
 def with_route_first_match(
     df: DataFrame, routes: list[Route], out_col: str = "route"
 ) -> DataFrame:
-    """match_once=true: order-sensitive first-match-wins routing column."""
-    branches = [F.when(r.condition, F.lit(r.name)) for r in routes]
-    return df.withColumn(out_col, F.coalesce(*branches, F.lit(DEFAULT_ROUTE)))
+    """match_once=true: order-sensitive first-match-wins routing column.
+
+    Mutations run only for rows the route actually claims (its condition
+    holds AND no earlier route matched), before the route column is stamped.
+    """
+    if not any(r.mutation for r in routes):
+        branches = [F.when(r.condition, F.lit(r.name)) for r in routes]
+        return df.withColumn(out_col, F.coalesce(*branches, F.lit(DEFAULT_ROUTE)))
+
+    from ..ottl import LogContext
+    from ..ottl.compiler import compile_bool
+    from ..ottl.functions import call_editor
+    from ..ottl.parser import parse_statement
+
+    # snapshot claim decisions BEFORE any mutation runs: a mutation may
+    # rewrite columns that route conditions read, and the reference decides
+    # membership on the un-mutated record (MoveRecordsWithContextIf moves
+    # first, the route's statement mutates the moved batch)
+    claim_cols = []
+    not_earlier = F.lit(True)
+    for i, r in enumerate(routes):
+        matched = F.coalesce(r.condition, F.lit(False))
+        df = df.withColumn(f"__claim_{i}", matched & not_earlier)
+        claim_cols.append(f"__claim_{i}")
+        not_earlier = not_earlier & ~matched
+    for i, r in enumerate(routes):
+        if r.mutation:
+            stmt = parse_statement(r.mutation)
+            ctx = LogContext(df)
+            cond = F.col(f"__claim_{i}")
+            if stmt.where is not None:
+                cond = cond & compile_bool(stmt.where, ctx)
+            df = call_editor(df, stmt.editor, ctx, cond)
+    branches = [
+        F.when(F.col(f"__claim_{i}"), F.lit(r.name)) for i, r in enumerate(routes)
+    ]
+    return df.withColumn(out_col, F.coalesce(*branches, F.lit(DEFAULT_ROUTE))).drop(
+        *claim_cols
+    )
 
 
 def with_route_match_all(
