@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
         .config("spark.sql.session.timeZone", "UTC")
+        # streaming state at scale: RocksDB spills keyed state to disk —
+        # the default HDFSBackedStateStore keeps it all on-heap and GC-locks
+        # under multi-million-key windows
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
