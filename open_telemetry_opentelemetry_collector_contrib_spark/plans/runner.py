@@ -230,6 +230,16 @@ class PipelineRunner:
     def read_counts(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.out_dir, "counts"))
 
+    def merged_counts(self) -> DataFrame:
+        """Cumulative rollup across chunk deltas (the countconnector emits
+        per-batch deltas; consumers aggregate — cumulative temporality is a
+        sum over deltas per series)."""
+        return (
+            self.read_counts()
+            .groupBy("window_id", "route", "conv_id", "role", "tool")
+            .agg(F.sum("n").alias("n"))
+        )
+
 
 def materialize_transcripts(
     spark: SparkSession, sf_dir: str, path: str, num_files: int = 8

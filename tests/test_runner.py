@@ -82,6 +82,22 @@ def test_sink_files_are_ordered_within_partitions(run_out):
         assert key == sorted(key), f"unordered rows in {f}"
 
 
+def test_merged_counts_equal_unchunked(run_out, spark):
+    """Sum of per-chunk delta counts == the single-pass (unchunked) counts:
+    delta temporality rolls up losslessly across chunk boundaries because
+    transcripts were laid out conv-complete."""
+    runner, _ = run_out
+    got = {
+        (r.window_id, r.route, r.conv_id, r.role, r.tool): r.n
+        for r in runner.merged_counts().collect()
+    }
+    exp = {
+        (r.window_id, r.route, r.conv_id, r.role, r.tool): r.n
+        for r in pipeline.sink_counts(spark, SF_UNIT).collect()
+    }
+    assert got == exp
+
+
 def test_aggregate_count_parity(run_out, spark):
     runner, _ = run_out
     got = {
