@@ -356,6 +356,13 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
         return TypedCol(
             F.map_from_entries(F.filter(F.array(*entries), lambda x: x.isNotNull())), "map"
         )
+    if name == "IsRootSpan":
+        # span-context converter (`func_is_root_span.go`): parent span id
+        # empty/absent. Valid on span-shaped frames (operators/traces.py).
+        if "parent_span_id" not in ctx.schema:
+            raise OTTLCompileError("IsRootSpan requires a span frame (parent_span_id)")
+        p = F.col("parent_span_id")
+        return TypedCol(p.isNull() | (p == ""), "bool")
     if name == "ParseSimplifiedXML":
         from ..functions.xmlfns import parse_simplified_xml
 
@@ -422,6 +429,7 @@ REGISTERED_CONVERTERS = frozenset(
         "UnixMicro", "UnixNano", "Unix", "Year", "Month", "Day", "Hour",
         "Minute", "Seconds", "Minutes", "Hours", "Days", "Sort", "SliceToMap",
         "UUID", "URL", "UserAgent", "ParseSimplifiedXML", "GetXML",
+        "IsRootSpan",
     }
 )
 
