@@ -198,8 +198,8 @@ def q_delta_to_cumulative(spark, sf_dir):
 
 O_D2C = f"""
 SELECT user_id, event_type, event_id, vi,
-       sum(vi) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) AS cumulative
+       CAST(sum(vi) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative
 FROM ({_EVENTS_VI})
 """
 

@@ -270,8 +270,27 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def _planted_embeddings(spark, sf_dir):
+    """Embeddings plus deterministic planted near-duplicates: every
+    vec_id % 25 == 0 row gets a copy at vec_id + 1000000 with 0.01 added to
+    its first component (cosine vs the original stays ~0.9999), so the
+    near-dup operator's bucket-join/filter logic is exercised against a
+    non-empty expected output at every SF."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dups = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.01)),
+            F.slice("embedding", 2, _DIM - 1),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(dups)
+
+
 def q_embedding_near_dup(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _planted_embeddings(spark, sf_dir)
     return similarity.embedding_near_dup_pairs(
         emb, dim=_DIM, threshold=_NEARDUP_THRESHOLD, num_planes=_NUM_PLANES
     )
@@ -284,8 +303,13 @@ def _near_dup_oracle() -> str:
         for i, p in enumerate(_planes_sql_list(planes))
     )
     return f"""
-WITH base AS (
+WITH raw AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), base AS (
+  SELECT vec_id, v FROM raw
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, [v[1] + 0.01] || v[2:] AS v
+  FROM raw WHERE vec_id % 25 = 0
 ), bucketed AS (
   SELECT vec_id, v, ({bucket_terms}) AS bucket FROM base
 ), pairs AS (
