@@ -46,9 +46,70 @@ BASE_PATTERNS: dict[str, str] = {
         r" %{NONNEGINT:response} (?:%{NONNEGINT:bytes}|-)"
     ),
     "IPORHOST": r"(?:(?:25[0-5]|2[0-4][0-9]|[0-1]?[0-9]{1,2})(?:\.(?:25[0-5]|2[0-4][0-9]|[0-1]?[0-9]{1,2})){3}|\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b)",
+    # --- calendar / time components (public logstash grok-patterns) ---
+    "MONTH": r"\b(?:[Jj]an(?:uary|uar)?|[Ff]eb(?:ruary|ruar)?|[Mm]ar(?:ch|z)?|[Aa]pr(?:il)?|[Mm]a[yi]?|[Jj]un[ei]?|[Jj]ul[yi]?|[Aa]ug(?:ust)?|[Ss]ep(?:tember)?|[Oo][ck]t(?:ober)?|[Nn]ov(?:ember)?|[Dd]e[cz](?:ember)?)\b",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "DAY": r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?)",
+    "TIME": r"(?:2[0123]|[01]?[0-9]):(?:[0-5][0-9])(?::(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?))?",
+    "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "DATE": r"(?:%{DATE_US}|%{DATE_EU})",
+    "DATESTAMP": r"%{DATE}[- ]%{TIME}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+    "ISO8601_SECOND": r"%{SECOND}",
+    # --- network ---
+    "IPV6": r"(?:(?:(?:[0-9A-Fa-f]{1,4}:){7}(?:[0-9A-Fa-f]{1,4}|:))|(?:(?:[0-9A-Fa-f]{1,4}:){1,7}:)|(?:(?:[0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4})|(?:(?:[0-9A-Fa-f]{1,4}:){1,5}(?::[0-9A-Fa-f]{1,4}){1,2})|(?:(?:[0-9A-Fa-f]{1,4}:){1,4}(?::[0-9A-Fa-f]{1,4}){1,3})|(?:(?:[0-9A-Fa-f]{1,4}:){1,3}(?::[0-9A-Fa-f]{1,4}){1,4})|(?:(?:[0-9A-Fa-f]{1,4}:){1,2}(?::[0-9A-Fa-f]{1,4}){1,5})|(?:[0-9A-Fa-f]{1,4}:(?::[0-9A-Fa-f]{1,4}){1,6})|(?::(?:(?::[0-9A-Fa-f]{1,4}){1,7}|:)))(?:%[0-9A-Za-z]+)?",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    "CISCOMAC": r"(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}",
+    "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
+    "COMMONMAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+    "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
+    # --- URI family ---
+    "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
+    "URIQUERY": r"[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "URIPARAM": r"\?%{URIQUERY}",
+    "URIPATHPARAM": r"%{URIPATH}(?:\?%{URIQUERY})?",
+    "URI": r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",
+    # --- ELB/ALB family (go-grok ECS aliases; func_extract_grok_patterns.go
+    #     e2e case `pkg/ottl/e2e/e2e_test.go:430-440`) ---
+    "ELB_URIHOST": r"%{IPORHOST:url.domain}(?::%{POSINT:url.port:int})?",
+    "ELB_URIPATHQUERY": r"%{URIPATH:url.path}(?:\?%{URIQUERY:url.query})?",
+    "ELB_URIPATHPARAM": r"%{ELB_URIPATHQUERY}",
+    "ELB_URI": r"%{URIPROTO:url.scheme}://(?:%{USER:url.username}(?::[^@]*)?@)?(?:%{ELB_URIHOST})?(?:%{ELB_URIPATHQUERY})?",
+    "ELB_REQUEST_LINE": r"(?:%{WORD:http.request.method} %{ELB_URI:url.original}(?: HTTP/%{NUMBER:http.version})?)",
+    # --- HTTPD (ECS-aliased go-grok variants + classic combined) ---
+    "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+    "HTTPDUSER": r"(?:%{EMAILADDRESS}|%{USER})",
+    "HTTPD_COMMONLOG": (
+        r'%{IPORHOST:source.address} %{HTTPDUSER:apache.access.user.identity} %{USER:user.name} \[%{HTTPDATE:timestamp}\]'
+        r' "(?:%{WORD:http.request.method} %{NOTSPACE:url.original}(?: HTTP/%{NUMBER:http.version})?|%{DATA})"'
+        r" (?:-|%{INT:http.response.status_code:int}) (?:-|%{INT:http.response.body.bytes:int})"
+    ),
+    "HTTPD_COMBINEDLOG": r'%{HTTPD_COMMONLOG} "%{DATA:http.request.referrer}" "%{DATA:user_agent.original}"',
+    "COMBINEDAPACHELOG": r'%{COMMONAPACHELOG} "%{DATA:referrer}" "%{DATA:agent}"',
+    # --- syslog line composites ---
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "SYSLOGPROG": r"%{PROG:process.name}(?:\[%{POSINT:process.pid:int}\])?",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    "SYSLOGFACILITY": r"<%{NONNEGINT:log.syslog.facility.code:int}.%{NONNEGINT:log.syslog.priority:int}>",
+    "SYSLOGBASE": r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:host.hostname} %{SYSLOGPROG}:",
+    # --- filesystem / misc ---
+    "UNIXPATH": r"(?:/[\w_%!$@:.,+~-]*)+",
+    "WINPATH": r"(?:[A-Za-z]+:|\\)(?:\\[^\\?*]*)+",
+    "TTY": r"/dev/(?:pts|tty(?:[pq])?)(?:\w+)?/?(?:[0-9]+)",
+    "QS": r"%{QUOTEDSTRING}",
 }
 
-_GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?\}")
+# %{NAME}, %{NAME:alias}, %{NAME:alias:type} — the :type suffix (go-grok
+# typed captures) is parsed and recorded but values stay strings in our
+# map<string,string> frames (documented divergence).
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+?))?(?::(int|long|float|double|bool|boolean|string))?\}")
 
 
 class GrokError(ValueError):
@@ -61,31 +122,52 @@ def _sanitize_name(name: str) -> str:
     return re.sub(r"[^A-Za-z0-9]", "0", name)
 
 
-def grok_to_regex(
+def grok_expand(
     pattern: str,
     named_captures_only: bool = True,
     pattern_definitions: dict[str, str] | None = None,
     _depth: int = 0,
-) -> str:
-    """Expand %{NAME}/%{NAME:alias} references into a named-group regex."""
+    _names: dict[str, str] | None = None,
+) -> tuple[str, dict[str, str]]:
+    """Expand %{NAME}/%{NAME:alias}/%{NAME:alias:type} references.
+
+    Returns (regex, {sanitized_group_name: original_alias}) — regex group
+    names must be [A-Za-z0-9]+ for Java, but go-grok ECS aliases carry dots
+    (url.scheme); the map restores the original keys on extraction.
+    """
     if _depth > 20:
         raise GrokError("grok pattern recursion too deep")
     defs = dict(BASE_PATTERNS)
     if pattern_definitions:
         defs.update(pattern_definitions)
+    names: dict[str, str] = {} if _names is None else _names
 
     def repl(m: re.Match) -> str:
         name, alias = m.group(1), m.group(2)
         if name not in defs:
             raise GrokError(f"unknown grok pattern %{{{name}}}")
-        body = grok_to_regex(defs[name], named_captures_only, pattern_definitions, _depth + 1)
+        body, _ = grok_expand(
+            defs[name], named_captures_only, pattern_definitions, _depth + 1, names
+        )
         if alias:
-            return f"(?P<{_sanitize_name(alias)}>{body})"
+            g = _sanitize_name(alias)
+            names[g] = alias
+            return f"(?P<{g}>{body})"
         if named_captures_only:
             return f"(?:{body})"
-        return f"(?P<{_sanitize_name(name)}>{body})"
+        g = _sanitize_name(name)
+        names[g] = name
+        return f"(?P<{g}>{body})"
 
-    return _GROK_REF.sub(repl, pattern)
+    return _GROK_REF.sub(repl, pattern), names
+
+
+def grok_to_regex(
+    pattern: str,
+    named_captures_only: bool = True,
+    pattern_definitions: dict[str, str] | None = None,
+) -> str:
+    return grok_expand(pattern, named_captures_only, pattern_definitions)[0]
 
 
 def grok_group_names(pattern: str, **kw) -> list[str]:

@@ -102,6 +102,42 @@ def _to_java_regex(pattern: str) -> str:
     return pattern.replace("(?P<", "(?<")
 
 
+def _capture_group_indexes(pattern: str) -> dict[str, int]:
+    """{group name: 1-based index among capture groups}, matching Java's
+    count — skips escaped parens, parens inside character classes, and
+    non-capturing / lookaround constructs."""
+    idx: dict[str, int] = {}
+    gi = 0
+    i = 0
+    in_class = False
+    named = re.compile(r"\(\?P?<([a-zA-Z_][a-zA-Z0-9_]*)>")
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            continue
+        if c == "(":
+            if pattern.startswith("(?", i):
+                m = named.match(pattern, i)
+                if m:
+                    gi += 1
+                    idx[m.group(1)] = gi
+                # other (?...) forms are non-capturing or lookaround
+            else:
+                gi += 1
+        i += 1
+    return idx
+
+
 def extract_patterns_cols(text: Column, pattern: str) -> dict[str, Column]:
     """Named capture groups -> {name: extracted col} using group indexes.
 
@@ -111,13 +147,7 @@ def extract_patterns_cols(text: Column, pattern: str) -> dict[str, Column]:
     names = _NAMED_GROUP_RE.findall(pattern)
     if not names:
         raise OTTLCompileError("ExtractPatterns requires named capture groups")
-    # group index = position among ALL capture groups
-    idx = {}
-    gi = 0
-    for m in re.finditer(r"(?<!\\)\((?!\?:)(\?P?<([a-zA-Z_][a-zA-Z0-9_]*)>)?", pattern):
-        gi += 1
-        if m.group(2):
-            idx[m.group(2)] = gi
+    idx = _capture_group_indexes(pattern)
     jpat = _to_java_regex(pattern)
     return {n: F.regexp_extract(text, jpat, idx[n]) for n in names}
 
@@ -221,14 +251,17 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
         arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
         return TypedCol(F.map_from_entries(arr), "map")
     if name == "ExtractGrokPatterns":
-        from ..functions.grok import grok_to_regex
+        from ..functions.grok import grok_expand
 
         pattern = _lit_of(args[1], "grok pattern")
         only_named = bool(named.get("namedCapturesOnly", Literal(True, "bool")).value) if isinstance(named.get("namedCapturesOnly"), Literal) else True
-        regex = grok_to_regex(pattern, named_captures_only=only_named)
+        if len(args) > 2 and isinstance(args[2], Literal):
+            only_named = bool(args[2].value)
+        regex, alias_names = grok_expand(pattern, named_captures_only=only_named)
         cols = extract_patterns_cols(val(0).col.cast("string"), regex)
         entries = [
-            F.when(c != "", F.struct(F.lit(n).alias("key"), c.alias("value")))
+            # restore original (possibly dotted ECS) alias names
+            F.when(c != "", F.struct(F.lit(alias_names.get(n, n)).alias("key"), c.alias("value")))
             for n, c in cols.items()
         ]
         arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
@@ -371,6 +404,65 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
         from ..functions.xmlfns import get_xml
 
         return TypedCol(get_xml(val(0).col, _lit_of(args[1], "GetXML xpath")), "string")
+    if name == "ParseXML":
+        from ..functions.xmlfns import parse_xml
+
+        return TypedCol(parse_xml(val(0).col), "map")
+    if name == "InsertXML":
+        from ..functions.xmlfns import insert_xml
+
+        return TypedCol(
+            insert_xml(val(0).col, _lit_of(args[1], "InsertXML xpath"), val(2).col),
+            "string",
+        )
+    if name == "RemoveXML":
+        from ..functions.xmlfns import remove_xml
+
+        return TypedCol(remove_xml(val(0).col, _lit_of(args[1], "RemoveXML xpath")), "string")
+    if name == "ConvertAttributesToElementsXML":
+        from ..functions.xmlfns import convert_attributes_to_elements_xml
+
+        xpath = _lit_of(args[1], "xpath") if len(args) > 1 else "//@*"
+        return TypedCol(convert_attributes_to_elements_xml(val(0).col, xpath), "string")
+    if name == "ConvertTextToElementsXML":
+        from ..functions.xmlfns import convert_text_to_elements_xml
+
+        xpath = _lit_of(args[1], "xpath") if len(args) > 1 else "/"
+        elem = _lit_of(args[2], "elementName") if len(args) > 2 else "value"
+        if isinstance(named.get("elementName"), Literal):
+            elem = named["elementName"].value
+        if isinstance(named.get("xpath"), Literal):
+            xpath = named["xpath"].value
+        return TypedCol(convert_text_to_elements_xml(val(0).col, xpath, elem), "string")
+    if name == "ToKeyValueString":
+        # func_to_key_value_string.go:38-121: map -> escaped/quoted k=v pairs
+        delim = _lit_of(args[1], "delimiter") if len(args) > 1 else "="
+        paird = _lit_of(args[2], "pair delimiter") if len(args) > 2 else " "
+        sort_output = bool(_lit_of(args[3], "sort")) if len(args) > 3 else False
+        if delim == paird or not delim or not paird:
+            raise OTTLCompileError("ToKeyValueString: bad delimiters")
+
+        def esc(s: Column) -> Column:
+            e = F.regexp_replace(s, '"', '\\\\"')
+            needs = e.contains(delim) | e.contains(paird)
+            return F.when(needs, F.concat(F.lit('"'), e, F.lit('"'))).otherwise(e)
+
+        entries = F.map_entries(val(0).col)
+        if sort_output:
+            entries = F.array_sort(entries)  # struct compare: key-first
+        parts = F.transform(
+            entries, lambda e: F.concat(esc(e["key"]), F.lit(delim), esc(e["value"]))
+        )
+        return TypedCol(F.array_join(parts, paird), "string")
+    if name in ("SpanID", "TraceID"):
+        # func_span_id.go:34-44 / func_trace_id.go:34-44: compile-time byte
+        # literal -> id constant. Our frames carry ids as lowercase hex
+        # strings, so the constant folds to a hex string literal.
+        b = _lit_of(args[0], name)
+        want = 8 if name == "SpanID" else 16
+        if not isinstance(b, (bytes, bytearray)) or len(b) != want:
+            raise OTTLCompileError(f"{name.lower()}s must be {want} bytes")
+        return TypedCol(F.lit(bytes(b).hex()), "string")
     if name == "UserAgent":
         # semconv decomposition (func_user_agent.go wraps the uap library);
         # common-browser regex heuristics keep this JVM-side and deterministic
@@ -427,9 +519,12 @@ REGISTERED_CONVERTERS = frozenset(
         "MD5", "SHA1", "SHA256", "SHA512", "FNV", "Base64Decode", "Decode",
         "Time", "TruncateTime", "Duration", "Now", "UnixSeconds", "UnixMilli",
         "UnixMicro", "UnixNano", "Unix", "Year", "Month", "Day", "Hour",
-        "Minute", "Seconds", "Minutes", "Hours", "Days", "Sort", "SliceToMap",
+        "Minute", "Seconds", "Minutes", "Hours", "Days", "Milliseconds",
+        "Microseconds", "Nanoseconds", "Sort", "SliceToMap",
         "UUID", "URL", "UserAgent", "ParseSimplifiedXML", "GetXML",
-        "IsRootSpan",
+        "IsRootSpan", "ParseXML", "InsertXML", "RemoveXML",
+        "ConvertAttributesToElementsXML", "ConvertTextToElementsXML",
+        "ToKeyValueString", "SpanID", "TraceID",
     }
 )
 

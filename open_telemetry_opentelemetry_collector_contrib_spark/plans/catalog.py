@@ -416,6 +416,78 @@ SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM eve
 """
 
 
+def q_kv_roundtrip_events(spark, sf_dir):
+    """ParseKeyValue -> ToKeyValueString roundtrip with re-delimiting and
+    quote-escaping (func_to_key_value_string.go:38-121): the 'note' value
+    contains the output pair delimiter, so it must come back quoted."""
+    from ..ottl import apply_statement
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.withColumn(
+        "kv_src",
+        F.concat(
+            F.lit("type:"), F.col("event_type"),
+            F.lit(",uid:"), F.col("user_id").cast("string"),
+            F.lit(",note:x y"),
+        ),
+    )
+    out = apply_statement(
+        df,
+        'set(kv_out, ToKeyValueString(ParseKeyValue(kv_src, ":", ","), "=", " ", true))',
+    )
+    return out.select("event_id", "kv_out")
+
+
+O_KV_ROUNDTRIP = """
+SELECT event_id,
+       'note="x y" type=' || event_type || ' uid=' || CAST(user_id AS VARCHAR) AS kv_out
+FROM events
+"""
+
+
+def q_grok_apache_clf(spark, sf_dir):
+    """Apache common-log grok parse over a deterministically derived text
+    column (%{COMMONAPACHELOG}; go-grok library parity,
+    func_extract_grok_patterns.go:17-22)."""
+    from ..ottl import apply_statement
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.withColumn(
+        "line",
+        F.concat(
+            F.lit("10."), (F.col("user_id") % 250).cast("string"),
+            F.lit(".0."), (F.col("event_id") % 250).cast("string"),
+            F.lit(' - frank [10/Oct/2000:13:55:36 -0700] "GET /page/'),
+            F.col("event_id").cast("string"),
+            F.lit(' HTTP/1.0" 200 '),
+            (F.col("event_id") % 5000).cast("string"),
+        ),
+    )
+    out = apply_statement(df, 'set(m, ExtractGrokPatterns(line, "%{COMMONAPACHELOG}"))')
+    m = F.col("m")
+    return out.select(
+        "event_id",
+        m["clientip"].alias("clientip"),
+        m["verb"].alias("verb"),
+        m["request"].alias("request"),
+        m["httpversion"].alias("httpversion"),
+        m["response"].alias("response"),
+        m["bytes"].alias("bytes"),
+    )
+
+
+O_GROK_CLF = """
+SELECT event_id,
+       '10.' || CAST(user_id % 250 AS VARCHAR) || '.0.' || CAST(event_id % 250 AS VARCHAR) AS clientip,
+       'GET' AS verb,
+       '/page/' || CAST(event_id AS VARCHAR) AS request,
+       '1.0' AS httpversion,
+       '200' AS response,
+       CAST(event_id % 5000 AS VARCHAR) AS bytes
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -436,6 +508,8 @@ CATALOG_QUERIES = {
     "route_match_all": q_route_match_all,
     "enrich_star_join": q_enrich_star_join,
     "events_props_json": q_events_props_json,
+    "kv_roundtrip_events": q_kv_roundtrip_events,
+    "grok_apache_clf": q_grok_apache_clf,
 }
 
 CATALOG_ORACLES = {
@@ -454,4 +528,6 @@ CATALOG_ORACLES = {
     "route_match_all": O_ROUTE_ALL,
     "enrich_star_join": O_STAR_JOIN,
     "events_props_json": O_PROPS_JSON,
+    "kv_roundtrip_events": O_KV_ROUNDTRIP,
+    "grok_apache_clf": O_GROK_CLF,
 }

@@ -390,8 +390,103 @@ def test_xml_converters(spark):
     assert rows[xml]["log.level"] == "warn"
     assert rows[xml]["log.tag[0]"] == "a" and rows[xml]["log.tag[1]"] == "b"
     assert rows["not xml"] is None
-    out2 = apply_statement(df, 'set(lvl, GetXML(x, "level"))')
-    assert {r.lvl for r in out2.collect()} == {"warn", None}
+    # GetXML serializes matched element nodes (func_get_xml.go:53-60)
+    out2 = apply_statement(df, 'set(lvl, GetXML(x, "//level"))')
+    assert {r.lvl for r in out2.collect()} == {"<level>warn</level>", ""}
+
+
+def test_xml_family_e2e_cases(spark):
+    """Conformance cases modeled on pkg/ottl/e2e/e2e_test.go:375-393,466,700-721."""
+    df = spark.createDataFrame([(1,)], ["row_id"])
+    log_xml = '<Log id=\\"1\\"><Message>This is a log message!</Message></Log>'
+
+    out = apply_statement(df, f'set(t, ConvertAttributesToElementsXML("{log_xml}"))')
+    assert out.collect()[0].t == "<Log><Message>This is a log message!</Message><id>1</id></Log>"
+
+    out = apply_statement(df, 'set(t, ConvertTextToElementsXML("<a><b/>foo</a>"))')
+    assert out.collect()[0].t == "<a><b></b><value>foo</value></a>"
+
+    out = apply_statement(
+        df, 'set(t, ConvertTextToElementsXML("<a><b/>foo</a><c><b/>bar</c>", "/a", "custom"))'
+    )
+    assert out.collect()[0].t == "<a><b></b><custom>foo</custom></a><c><b></b>bar</c>"
+
+    out = apply_statement(df, 'set(t, InsertXML("<a></a>", "/a", "<b></b>"))')
+    assert out.collect()[0].t == "<a><b></b></a>"
+
+    out = apply_statement(df, f'set(t, RemoveXML("{log_xml}", "/Log/Message"))')
+    assert out.collect()[0].t == '<Log id="1"></Log>'
+
+    # attribute + text() removal modes (func_remove_xml.go:56-69)
+    out = apply_statement(df, f'set(t, RemoveXML("{log_xml}", "/Log/@id"))')
+    assert out.collect()[0].t == "<Log><Message>This is a log message!</Message></Log>"
+    out = apply_statement(
+        df, 'set(t, RemoveXML("<a>keep<b>x</b></a>", "/a/b/text()"))'
+    )
+    assert out.collect()[0].t == "<a>keep<b></b></a>"
+
+
+def test_parse_xml_structure(spark):
+    df = spark.createDataFrame([(1,)], ["row_id"])
+    out = apply_statement(
+        df,
+        'set(m, ParseXML("<Log id=\\"1\\"><Message>This is a log message!</Message></Log>"))',
+    )
+    m = out.collect()[0].m
+    assert m["tag"] == "Log"
+    assert m["attributes"] == '{"id":"1"}'
+    assert (
+        m["children"]
+        == '[{"tag":"Message","content":"This is a log message!"}]'
+    )
+    # malformed / trailing input -> nil (error_mode=ignore)
+    df2 = spark.createDataFrame([("<a></a><b></b>",), ("nope",)], ["x"])
+    out2 = apply_statement(df2, "set(m, ParseXML(x))")
+    assert [r.m for r in out2.collect()] == [None, None]
+
+
+def test_xml_roundtrip_insert_get_remove(spark):
+    """GetXML -> InsertXML -> RemoveXML roundtrip (e2e_test.go:1226-1241)."""
+    body = "<Data><From><Test>1</Test><Test>2</Test></From><To></To></Data>"
+    df = spark.createDataFrame([(body,)], ["body"])
+    out = apply_statement(
+        df,
+        'set(body, RemoveXML(InsertXML(body, "/Data/To", GetXML(body, "/Data/From/Test")), "/Data/To/Test"))',
+    )
+    assert out.collect()[0].body == body
+
+
+def test_to_key_value_string(spark):
+    """e2e_test.go:667-690 ToKeyValueString cases."""
+    df = spark.createDataFrame([(1,)], ["row_id"])
+    cases = [
+        ('ToKeyValueString(ParseKeyValue("k1=v1 k2=v2"), "=", " ", true)', "k1=v1 k2=v2"),
+        ('ToKeyValueString(ParseKeyValue("k1:v1,k2:v2", ":", ","), ":", ",", true)', "k1:v1,k2:v2"),
+        ('ToKeyValueString(ParseKeyValue("k1=v1 k2=v2"), "!", "+", true)', "k1!v1+k2!v2"),
+        ('ToKeyValueString(ParseKeyValue("k1=v1 k2=v2=v3"), "=", " ", true)', 'k1=v1 k2="v2=v3"'),
+    ]
+    for expr, want in cases:
+        out = apply_statement(df, f"set(t, {expr})")
+        assert out.collect()[0].t == want, expr
+
+
+def test_span_trace_id_converters(spark):
+    df = spark.createDataFrame(
+        [("0102030405060708090a0b0c0d0e0f10", "0102030405060708")],
+        ["trace_id", "span_id"],
+    )
+    out = apply_statement(
+        df,
+        'set(t, "pass") where trace_id == TraceID(0x0102030405060708090a0b0c0d0e0f10)',
+    )
+    assert out.collect()[0].t == "pass"
+    out2 = apply_statement(df, "set(span_id, SpanID(0x0000000000000000))")
+    assert out2.collect()[0].span_id == "0000000000000000"
+    import pytest as _pytest
+    from open_telemetry_opentelemetry_collector_contrib_spark.ottl.compiler import OTTLCompileError
+
+    with _pytest.raises(OTTLCompileError):
+        apply_statement(df, "set(span_id, SpanID(0x00))")
 
 
 def test_string_of_map_and_minutes(logs):
