@@ -48,3 +48,185 @@ def probabilistic_sample(
     threshold = (pct / 100.0 * _NUM_BUCKETS).cast("long")
     bucket = F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.lit(_NUM_BUCKETS))
     return df.filter(bucket < threshold)
+
+
+# ---------------------------------------------------------------------------
+# OTEP-235 consistent-probability modes (proportional / equalizing)
+# ---------------------------------------------------------------------------
+#
+# Reference math (`pkg/sampling/probability.go:33-77`, `threshold.go:117-122`,
+# `randomness.go:47-55`; mode selection `sampler_mode.go:390-460`):
+# - Randomness R = least-significant 56 bits of the trace id (or an explicit
+#   randomness source); Threshold T is a 56-bit REJECT count; sampled iff
+#   T <= R.
+# - ProbabilityToThresholdWithPrecision(p, precision) keeps `precision` hex
+#   digits, auto-raising precision near the extremes via frexp exponents.
+# - equalizing: fixed threshold from the configured percentage; an incoming
+#   (already-sampled) threshold is never lowered (`sampler_mode.go:266-272`).
+# - proportional: outgoing probability = incoming probability * ratio
+#   (`sampler_mode.go:284-303`); underflow -> never sample.
+# - sampling_priority (logs): a per-record minimum probability; 0/invalid ->
+#   drop (`logsprocessor.go:240-274`).
+
+_MAX_ADJ = 1 << 56  # MaxAdjustedCount
+_NEVER_T = _MAX_ADJ  # NeverSampleThreshold: rejects every R in [0, 2^56)
+_MIN_PROB = 1.0 / _MAX_ADJ
+
+
+def prob_to_threshold_py(prob: float, precision: int = 4) -> int:
+    """Config-time twin of ProbabilityToThresholdWithPrecision (exact Go
+    semantics; used for the equalizing mode's fixed threshold)."""
+    import math
+
+    if precision == 0:
+        precision = 14
+    if not (_MIN_PROB <= prob <= 1.0):
+        raise ValueError("probability out of range")
+    if prob == 1.0:
+        return 0
+    _, exp_f = math.frexp(prob)
+    _, exp_r = math.frexp(1.0 - prob)
+    precision = min(14, max(precision + (-exp_f) // 4, precision + (-exp_r) // 4))
+    scaled = int(math.floor(prob * float(_MAX_ADJ) + 0.5))
+    threshold = _MAX_ADJ - scaled
+    shift = 4 * (14 - precision)
+    if shift:
+        threshold += 1 << (shift - 1)
+        threshold -= threshold % (1 << shift)
+    return threshold
+
+
+def otep235_threshold_col(prob: Column, precision: int = 4) -> Column:
+    """ProbabilityToThresholdWithPrecision as a pure Column program.
+
+    All arithmetic is 64-bit-safe (shift-rounding = add-half then subtract
+    pmod; no variable bit-shifts, which Spark only takes as Python ints).
+    Out-of-range probability -> NeverSampleThreshold (2^56), matching the
+    proportional underflow rule.
+    """
+    def floor_log2(x: Column) -> Column:
+        # exact despite log2 ULP noise (Spark's log2 = ln ratio): candidate
+        # from round(log2), then correct by exact power-of-two comparison
+        e0 = F.round(F.log2(x)).cast("int")
+        p0 = F.pow(F.lit(2.0), e0.cast("double"))
+        return (
+            F.when(p0 <= x, F.when(p0 * 2.0 <= x, e0 + 1).otherwise(e0))
+            .otherwise(e0 - 1)
+            .cast("long")
+        )
+
+    exp_f = floor_log2(prob) + F.lit(1)
+    exp_r = F.when(prob < 1.0, floor_log2(F.lit(1.0) - prob) + F.lit(1)).otherwise(F.lit(0))
+    prec = F.least(
+        F.lit(14),
+        F.greatest(
+            F.lit(precision) + F.floor((-exp_f) / F.lit(4)).cast("int"),
+            F.lit(precision) + F.floor((-exp_r) / F.lit(4)).cast("int"),
+        ),
+    )
+    scaled = F.floor(prob * F.lit(float(_MAX_ADJ)) + F.lit(0.5)).cast("long")
+    thr_raw = F.lit(_MAX_ADJ).cast("long") - scaled
+    rounded = None
+    for pr in range(1, 15):
+        shift = 4 * (14 - pr)
+        if shift == 0:
+            v = thr_raw
+        else:
+            half = thr_raw + F.lit(1 << (shift - 1))
+            v = half - F.pmod(half, F.lit(1 << shift))
+        branch = F.when(prec == pr, v)
+        rounded = branch if rounded is None else rounded.when(prec == pr, v)
+    out = rounded.otherwise(thr_raw)
+    return (
+        F.when(prob >= 1.0, F.lit(0).cast("long"))
+        .when(prob < F.lit(_MIN_PROB), F.lit(_NEVER_T).cast("long"))
+        .otherwise(out)
+    )
+
+
+def trace_randomness_col(trace_id_hex: Column) -> Column:
+    """R-value from a 32-hex-char trace id: last 14 hex chars = low 56 bits
+    (`randomness.go:47-55`)."""
+    return F.conv(F.substring(trace_id_hex, 19, 14), 16, 10).cast("long")
+
+
+def tvalue_col(threshold: Column) -> Column:
+    """56-bit threshold -> OTEP-235 T-value hex string (14 digits, trailing
+    zeros trimmed; '0' = always sample)."""
+    full = F.lpad(F.lower(F.hex(threshold)), 14, "0")
+    trimmed = F.regexp_replace(full, "0+$", "")
+    return F.when(threshold == 0, F.lit("0")).otherwise(
+        F.when(trimmed == "", F.lit("0")).otherwise(trimmed)
+    )
+
+
+def tvalue_to_threshold_col(tvalue: Column) -> Column:
+    """Incoming sampling.threshold attribute (1-14 hex chars, right-padded)."""
+    return F.conv(F.rpad(tvalue, 14, "0"), 16, 10).cast("long")
+
+
+def otep235_sample(
+    df: DataFrame,
+    percentage: float,
+    mode: str = "proportional",
+    *,
+    randomness_col: Column | None = None,
+    trace_id_col: str | None = None,
+    incoming_threshold_col: str | None = None,
+    priority_col: str | None = None,
+    precision: int = 4,
+    threshold_out: str | None = "sampling_threshold",
+) -> DataFrame:
+    """OTEP-235 consistent-probability sampler (proportional / equalizing).
+
+    One vectorized filter expression — no shuffle, no UDF; scales linearly
+    with input and is deterministic under repartitioning. The outgoing
+    threshold T-value is emitted as ``threshold_out`` (the analog of the
+    reference rewriting attributes["sampling.threshold"]).
+    """
+    if mode not in ("proportional", "equalizing"):
+        raise ValueError(f"unknown OTEP-235 mode {mode!r}")
+    if percentage <= 0:
+        out = df.filter(F.lit(False))
+        return out.withColumn(threshold_out, F.lit(None).cast("string")) if threshold_out else out
+
+    ratio = max(percentage / 100.0, _MIN_PROB)
+    if randomness_col is None:
+        if trace_id_col is None:
+            raise ValueError("need randomness_col or trace_id_col")
+        randomness_col = trace_randomness_col(F.col(trace_id_col))
+
+    if incoming_threshold_col is not None:
+        t_in = F.col(incoming_threshold_col).cast("long")
+    else:
+        t_in = F.lit(None).cast("long")
+
+    if mode == "equalizing":
+        fixed = prob_to_threshold_py(ratio, precision)
+        # never lower an incoming threshold (sampler_mode.go:266-272)
+        threshold = F.when(t_in.isNotNull() & (t_in > fixed), t_in).otherwise(F.lit(fixed))
+    else:
+        incoming_prob = F.when(
+            t_in.isNotNull(), (F.lit(_MAX_ADJ).cast("long") - t_in) / F.lit(float(_MAX_ADJ))
+        ).otherwise(F.lit(1.0))
+        threshold = otep235_threshold_col(incoming_prob * F.lit(ratio), precision)
+
+    if priority_col is not None:
+        # logs: the priority attribute is a REQUEST to be sampled with at
+        # least priority/100 probability; 0 -> drop (logsprocessor.go:240-274)
+        pri = F.col(priority_col).cast("double")
+        pri_prob = pri / 100.0
+        th_pri = F.when(
+            pri.isNull() | (pri_prob <= 0) | (pri_prob > 1.0) | (pri_prob < _MIN_PROB),
+            F.lit(_NEVER_T).cast("long"),
+        ).otherwise(otep235_threshold_col(pri_prob, precision))
+        threshold = F.when(pri.isNull(), threshold).otherwise(
+            F.when(th_pri == _NEVER_T, F.lit(_NEVER_T).cast("long"))
+            .when(th_pri < threshold, th_pri)
+            .otherwise(threshold)
+        )
+
+    out = df.filter(threshold <= randomness_col)
+    if threshold_out:
+        out = out.withColumn(threshold_out, tvalue_col(threshold))
+    return out

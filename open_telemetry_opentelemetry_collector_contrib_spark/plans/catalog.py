@@ -174,6 +174,72 @@ WHERE (event_id * 1103515245 + 12345) % 16384 < 4096
 """
 
 
+def _otep_rnd_col():
+    """Deterministic 56-bit randomness from event_id (two 28-bit LCG halves)
+    — engine-portable stand-in for trace-id randomness so the OTEP-235
+    decision arithmetic is oracle-checkable."""
+    a = F.pmod(F.col("event_id") * 1103515245 + 12345, F.lit(1 << 28))
+    b = F.pmod(F.col("event_id") * 69069 + 1, F.lit(1 << 28))
+    return (a * F.lit(1 << 28) + b).cast("long")
+
+
+_OTEP_RND_SQL = (
+    f"(((event_id * 1103515245 + 12345) % {1 << 28}) * {1 << 28}"
+    f" + ((event_id * 69069 + 1) % {1 << 28}))"
+)
+_T50 = 36028797018963968  # prob_to_threshold_py(0.5, 4)  tvalue '8'
+_T25 = 54043195528445952  # prob_to_threshold_py(0.25, 4) tvalue 'c'
+_T10 = 64851394829484032  # prob_to_threshold_py(0.1, 4)  tvalue 'e666'
+
+
+def q_sample_otep235_proportional(spark, sf_dir):
+    """OTEP-235 proportional mode (sampler_mode.go:284-303): 'click' rows
+    arrive with an incoming 50% threshold, so 50% * 50% = 25% effective;
+    other rows get the configured 50%."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "tin",
+        F.when(F.col("event_type") == "click", F.lit(_T50).cast("long")),
+    )
+    out = sample_ops.otep235_sample(
+        ev, 50.0, "proportional",
+        randomness_col=_otep_rnd_col(),
+        incoming_threshold_col="tin",
+    )
+    return out.select("event_id", "event_type", "sampling_threshold")
+
+
+O_OTEP_PROP = f"""
+SELECT event_id, event_type,
+       CASE WHEN event_type = 'click' THEN 'c' ELSE '8' END AS sampling_threshold
+FROM events
+WHERE (CASE WHEN event_type = 'click' THEN {_T25} ELSE {_T50} END) <= {_OTEP_RND_SQL}
+"""
+
+
+def q_sample_otep235_equalizing(spark, sf_dir):
+    """OTEP-235 equalizing mode (sampler_mode.go:259-272): configured 50%
+    threshold, but 'view' rows carry a stricter incoming 10% threshold that
+    must never be lowered."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "tin",
+        F.when(F.col("event_type") == "view", F.lit(_T10).cast("long")),
+    )
+    out = sample_ops.otep235_sample(
+        ev, 50.0, "equalizing",
+        randomness_col=_otep_rnd_col(),
+        incoming_threshold_col="tin",
+    )
+    return out.select("event_id", "event_type", "sampling_threshold")
+
+
+O_OTEP_EQ = f"""
+SELECT event_id, event_type,
+       CASE WHEN event_type = 'view' THEN 'e666' ELSE '8' END AS sampling_threshold
+FROM events
+WHERE (CASE WHEN event_type = 'view' THEN {_T10} ELSE {_T50} END) <= {_OTEP_RND_SQL}
+"""
+
+
 def q_sample_hash_transcripts(spark, sf_dir):
     """hash_seed sampler on conv_id (xxhash64; no SQL oracle — rows-only)."""
     t = datagen.transcripts(spark, sf_dir)
@@ -510,6 +576,8 @@ CATALOG_QUERIES = {
     "events_props_json": q_events_props_json,
     "kv_roundtrip_events": q_kv_roundtrip_events,
     "grok_apache_clf": q_grok_apache_clf,
+    "sample_otep235_proportional": q_sample_otep235_proportional,
+    "sample_otep235_equalizing": q_sample_otep235_equalizing,
 }
 
 CATALOG_ORACLES = {
@@ -530,4 +598,6 @@ CATALOG_ORACLES = {
     "events_props_json": O_PROPS_JSON,
     "kv_roundtrip_events": O_KV_ROUNDTRIP,
     "grok_apache_clf": O_GROK_CLF,
+    "sample_otep235_proportional": O_OTEP_PROP,
+    "sample_otep235_equalizing": O_OTEP_EQ,
 }
