@@ -340,3 +340,60 @@ def simhash_near_pairs(
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return pairs.withColumn("hamming", hamming.cast("int")).drop("sim_a", "sim_b")
+
+
+def jaccard_verified_pairs_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 32,
+    seed: int = 42,
+    max_shingle_freq: int = 1000,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Production near-dup path: MinHash-LSH candidates -> exact Jaccard
+    verification on candidates ONLY.
+
+    Scale: the quadratic shingle self-join is replaced by (a) the banded
+    LSH bucket join (near-linear; see minhash_lsh_pairs) and (b) a per-pair
+    set intersection over the candidate pairs — work proportional to
+    |candidates|, not |docs|^2. With rows_per_band = num_hashes/bands = 2,
+    a pair at the 0.8 threshold is a candidate with prob
+    1-(1-0.8^2)^32 ~= 1-4e-15, so the verified result matches the exact
+    all-pairs program on any realistic corpus (and deterministically so —
+    the hash family is seeded).
+
+    Jaccard uses the same semantics as ngram_jaccard_pairs: hot shingles
+    above ``max_shingle_freq`` are excluded from the intersection while
+    denominators keep full distinct-shingle counts.
+    """
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, n, num_hashes, bands, seed, max_bucket_size
+    )
+    sh = shingle_table(df, text_col, id_col, n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    capped = sh.join(freq.filter(F.col("freq") <= max_shingle_freq), "shingle")
+    sets_df = capped.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("sh_set"),
+        F.first("shingle_count").alias("n_sh"),
+    )
+    a = sets_df.select(
+        F.col(id_col).alias("id_a"), F.col("sh_set").alias("sa"), F.col("n_sh").alias("ca")
+    )
+    b = sets_df.select(
+        F.col(id_col).alias("id_b"), F.col("sh_set").alias("sb"), F.col("n_sh").alias("cb")
+    )
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sa", "sb")).cast("long"))
+    )
+    jac = F.col("common").cast("double") / (F.col("ca") + F.col("cb") - F.col("common"))
+    return (
+        scored.withColumn("jaccard_ppm", F.floor(jac * 1_000_000).cast("bigint"))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "common", "jaccard_ppm")
+    )

@@ -6,10 +6,11 @@
 - signaltometricsconnector generalizes: OTTL conditions select rows, keys
   define dimensions, and the value is count / sum(attribute) / histogram.
 
-Here each definition compiles to one aggregation over the shared input;
-definitions are unioned into a long-format metrics frame
-(metric_name, window_id, dims map, value). Catalyst computes the shared
-upstream once per cached input.
+Here ALL definitions compile into ONE pass over the input: each row emits an
+array of per-definition (name, matched, dims, weight) structs, which is
+exploded and aggregated by (name, window, dims) in a single groupBy — K
+metric definitions cost one scan + one shuffle, not K scans (the map-side
+partial aggregate collapses the exploded rows before the exchange).
 """
 
 from __future__ import annotations
@@ -40,46 +41,60 @@ def signal_to_metrics(
     window_s: int = 3600,
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Long-format metric frame: (metric_name, window_id, dims, value)."""
-    outs = []
+    """Long-format metric frame: (metric_name, window_id, dims, value).
+
+    One scan, one shuffle for any number of definitions: rows emit a
+    per-definition struct array, exploded and grouped once. Grouping uses
+    the dim ENTRIES array (map types are not orderable grouping keys in
+    Spark); entry order is fixed by each definition's key list, so equal
+    dims always collide.
+    """
+    ctx = LogContext(df)
+    per_def = []
     for d in defs:
-        cur = df
-        if d.conditions:
-            ctx = LogContext(cur)
-            cur = cur.filter(
-                F.coalesce(compile_conditions_or(d.conditions, ctx), F.lit(False))
-            )
-        key_cols = []
+        matched = (
+            F.coalesce(compile_conditions_or(d.conditions, ctx), F.lit(False))
+            if d.conditions
+            else F.lit(True)
+        )
+        entries = []
         for k in d.keys:
             c = F.col(k).cast("string")
             if k in d.defaults:
                 c = F.coalesce(c, F.lit(d.defaults[k]))
             else:
-                cur = cur.filter(F.col(k).isNotNull())  # counter.go:70-73
-            key_cols.append(c.alias(k))
-        value = (
-            F.count(F.lit(1)).cast("double")
-            if d.kind == "count"
-            else F.sum(F.col(d.source).cast("double"))
+                # required key missing -> row skipped for THIS def only
+                # (countconnector counter.go:70-73)
+                matched = matched & F.col(k).isNotNull()
+            entries.append(F.struct(F.lit(k).alias("key"), c.alias("value")))
+        dim_entries = (
+            F.array(*entries)
+            if entries
+            else F.array().cast("array<struct<key:string,value:string>>")
         )
-        agg = (
-            cur.withColumn("window_id", tumbling_window_id(F.col(ts_col), window_s))
-            .groupBy("window_id", *key_cols)
-            .agg(value.alias("value"))
-        )
-        dims = F.map_from_arrays(
-            F.array(*[F.lit(k) for k in d.keys]),
-            F.array(*[F.col(k) for k in d.keys]),
-        ) if d.keys else F.create_map().cast("map<string,string>")
-        outs.append(
-            agg.select(
-                F.lit(d.name).alias("metric_name"),
-                "window_id",
-                dims.alias("dims"),
-                "value",
+        weight = F.lit(1.0) if d.kind == "count" else F.col(d.source).cast("double")
+        per_def.append(
+            F.struct(
+                F.lit(d.name).alias("name"),
+                matched.alias("matched"),
+                dim_entries.alias("dims"),
+                weight.alias("weight"),
             )
         )
-    result = outs[0]
-    for o in outs[1:]:
-        result = result.unionByName(o)
-    return result
+    exploded = (
+        df.withColumn("window_id", tumbling_window_id(F.col(ts_col), window_s))
+        .select("window_id", F.explode(F.array(*per_def)).alias("m"))
+        .filter(F.col("m.matched"))
+    )
+    return (
+        exploded.groupBy(
+            F.col("m.name").alias("metric_name"), "window_id", F.col("m.dims").alias("dim_entries")
+        )
+        .agg(F.sum("m.weight").alias("value"))
+        .select(
+            "metric_name",
+            "window_id",
+            F.map_from_entries("dim_entries").alias("dims"),
+            "value",
+        )
+    )

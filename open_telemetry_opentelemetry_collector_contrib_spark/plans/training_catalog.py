@@ -364,7 +364,10 @@ def q_curation_pipeline(spark, sf_dir):
         F.col("keeper_id").alias("doc_id")
     )
     kept = kept.join(keepers, "doc_id", "left_semi")
-    near = dedupe.ngram_jaccard_pairs(
+    # scale path: MinHash-LSH candidates -> exact Jaccard verify on the
+    # candidates only (no full shingle self-join on the kept set); the
+    # DuckDB oracle below remains the exact all-pairs program
+    near = dedupe.jaccard_verified_pairs_lsh(
         kept, n=_JAC_N, threshold=_CUR_JACCARD, max_shingle_freq=_JAC_MAXFREQ
     ).select(F.col("id_b").alias("doc_id")).distinct()
     survivors = kept.join(near, "doc_id", "left_anti")

@@ -83,3 +83,35 @@ def test_sinks_fallback_roundtrip(spark, tmp_path):
     back = sinks.read_table(spark, target)
     assert back.count() == df.count()
     assert set(back.columns) == set(df.columns)
+
+
+def test_signal_to_metrics_single_scan(spark, tmp_path):
+    """K metric definitions must cost ONE scan of the fact table, not K
+    (operators/signaltometrics.py one-pass explode design)."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators.signaltometrics import (
+        MetricDef,
+        signal_to_metrics,
+    )
+
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i, f"t{i % 3}", float(i), "2024-01-01 00:00:00") for i in range(100)],
+        ["event_id", "event_type", "value", "ts_s"],
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").write.parquet(path)
+    df = spark.read.parquet(path)
+    defs = [
+        MetricDef(name="all_count", kind="count"),
+        MetricDef(name="by_type", kind="count", keys=["event_type"]),
+        MetricDef(name="val_sum", kind="sum", source="value", keys=["event_type"]),
+    ]
+    out = signal_to_metrics(df, defs)
+    plan = explain(out)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+    assert "SortMergeJoin" not in tree
+    # semantics: per-def totals survive the one-pass rewrite
+    rows = {(r.metric_name, tuple(sorted(r.dims.items()))): r.value for r in out.collect()}
+    assert rows[("all_count", ())] == 100.0
+    assert rows[("by_type", (("event_type", "t0"),))] == 34.0
+    assert abs(rows[("val_sum", (("event_type", "t1"),))] - sum(i for i in range(100) if i % 3 == 1)) < 1e-9
