@@ -107,6 +107,15 @@ def ngram_jaccard_pairs(
 _MERSENNE31 = (1 << 31) - 1  # products stay < 2^62: safe under ANSI int64
 
 
+def md5_48(col: Column) -> Column:
+    """Engine-portable 48-bit base hash: first 12 hex chars of md5 as int.
+
+    DuckDB twin: list_reduce over the same 12 hex chars — this is what makes
+    minhash/simhash/fingerprint oracle-checkable (xxhash64/crc32 have no
+    DuckDB equivalent)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
 def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
     import random
@@ -126,6 +135,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     seed: int = 42,
     impl: str = "pandas",
+    base_hash: str = "crc32",
 ) -> DataFrame:
     """Per-doc MinHash signature (array<bigint>, length num_hashes).
 
@@ -139,12 +149,16 @@ def minhash_signatures(
     xxhash64), so signatures are impl-stable but not cross-impl-equal.
     """
     if impl == "pandas":
-        return _minhash_signatures_pandas(df, text_col, id_col, n, num_hashes, seed)
+        return _minhash_signatures_pandas(
+            df, text_col, id_col, n, num_hashes, seed, base_hash
+        )
     params = _hash_params(num_hashes, seed)
-    base = F.transform(
-        word_shingles(F.col(text_col), n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)),
+    base_fn = (
+        (lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
+        if base_hash == "crc32"
+        else (lambda s: F.pmod(md5_48(s), F.lit(_MERSENNE31)))
     )
+    base = F.transform(word_shingles(F.col(text_col), n), base_fn)
     # ONE fold over the shingle hashes carrying all num_hashes running
     # minima: higher-order functions are CodegenFallback (no subexpression
     # elimination), so per-hash array_min(transform(base, ...)) would
@@ -171,10 +185,13 @@ def minhash_signatures(
 
 
 def _minhash_signatures_pandas(
-    df: DataFrame, text_col: str, id_col: str, n: int, num_hashes: int, seed: int
+    df: DataFrame, text_col: str, id_col: str, n: int, num_hashes: int, seed: int,
+    base_hash: str = "crc32",
 ) -> DataFrame:
     """numpy minhash inside an Arrow-batched pandas UDF (deterministic:
-    crc32 shingle hashing, seeded universal-hash params)."""
+    crc32 or md5-48 shingle hashing, seeded universal-hash params).
+    base_hash='md5_48' is the oracle-portable variant (same int DuckDB
+    computes from md5 hex)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -187,8 +204,13 @@ def _minhash_signatures_pandas(
     # no type hints: `from __future__ import annotations` stringifies them,
     # which pyspark's eval-type inference can't resolve — explicit SCALAR form
     def _sig_fn(texts):
+        import hashlib
         import zlib
 
+        if base_hash == "crc32":
+            hash_one = lambda b: zlib.crc32(b)
+        else:  # md5_48
+            hash_one = lambda b: int.from_bytes(hashlib.md5(b).digest()[:6], "big")
         A = np.array(a_arr, dtype=np.int64)[:, None]
         B = np.array(b_arr, dtype=np.int64)[:, None]
         out = []
@@ -199,7 +221,7 @@ def _minhash_signatures_pandas(
             else:
                 sh = {" ".join(words)}
             x = np.fromiter(
-                (zlib.crc32(s.encode("utf-8")) for s in sh),
+                (hash_one(s.encode("utf-8")) for s in sh),
                 dtype=np.int64,
                 count=len(sh),
             ) % _MERSENNE31
@@ -220,9 +242,14 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 42,
     max_bucket_size: int = 200,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs: band the signature, bucket-join on
     (band_idx, band_hash), emit distinct (id_a < id_b) pairs.
+
+    ``portable=True`` swaps the base hash to md5-48 and the band bucket to
+    the raw signature-slice string so DuckDB can compute the identical
+    program (oracle checking); architecture and plan shape are unchanged.
 
     Scale: the join key is the band hash — collisions are by construction
     rare for non-similar docs, so join fan-out stays near-linear; banding is
@@ -233,21 +260,26 @@ def minhash_lsh_pairs(
     members of a dropped bucket still pair via their other bands.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                F.array_join(
-                    F.transform(
-                        F.slice("signature", b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("bucket"),
-        ),
+    sigs = minhash_signatures(
+        df, text_col, id_col, n, num_hashes, seed,
+        base_hash="md5_48" if portable else "crc32",
+    )
+
+    def band_key(b):
+        joined = F.array_join(
+            F.transform(
+                F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+            ",",
+        )
+        return joined if portable else F.xxhash64(joined).cast("string")
+
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
+            for b in range(bands)
+        ]
     )
     banded = sigs.select(id_col, F.explode(band_arr).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
@@ -278,7 +310,8 @@ def minhash_lsh_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per doc: sign of per-bit weighted sums of token hashes.
 
@@ -287,7 +320,10 @@ def simhash(
     explode/shuffle, which is what makes it viable per-row at 100 TB.
     """
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    hashes = F.transform(
+        tokens,
+        (lambda t: F.xxhash64(t)) if base_hash == "xxhash64" else (lambda t: md5_48(t)),
+    )
     # bit positions unrolled statically (shiftleft/right need int bit counts);
     # still one projection, no shuffle
     def _merge(b: int):

@@ -98,11 +98,20 @@ def char_shingles(text: Column, n: int = 8) -> Column:
     ).otherwise(F.array(text))
 
 
-def fingerprint_winnow(text: Column, n: int = 8, fp_mod: int = 1 << 61) -> Column:
-    """Winnowing-style fingerprint: min xxhash64 over char shingles.
+def fingerprint_winnow(
+    text: Column, n: int = 8, fp_mod: int = 1 << 61, base_hash: str = "xxhash64"
+) -> Column:
+    """Winnowing-style fingerprint: min hash over char shingles.
 
     Deterministic content fingerprint robust to local edits elsewhere in the
-    doc; xxhash64 keeps it JVM-side (no SQL oracle — rows-only check).
+    doc. base_hash='xxhash64' stays JVM-side; 'md5_48' is the engine-portable
+    twin (first 12 md5 hex chars as int) that DuckDB reproduces exactly, so
+    the catalog query is oracle-checked.
     """
-    hashes = F.transform(char_shingles(text, n), lambda s: F.xxhash64(s))
+    if base_hash == "xxhash64":
+        hashes = F.transform(char_shingles(text, n), lambda s: F.xxhash64(s))
+    else:
+        from .dedupe import md5_48
+
+        hashes = F.transform(char_shingles(text, n), lambda s: md5_48(s))
     return F.array_min(hashes)

@@ -154,3 +154,78 @@ def parse_fields(
             c = c.cast(cast_type)
         df = df.withColumn(out, c)
     return df
+
+
+# RFC5424: "<165>1 2003-10-11T22:14:15.003Z host app 1234 ID47 [sd@id k="v"] msg"
+# (`pkg/stanza/operator/parser/syslog/config.go:23`; RFC 5424 ABNF)
+SYSLOG_RFC5424_RE = (
+    r"^<(\d{1,3})>(\d{1,2}) (\S+) (\S+) (\S+) (\S+) (\S+) (-|(?:\[[^\]]*\])+)(?: (.*))?$"
+)
+
+
+def parse_syslog_rfc5424(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """stanza syslog parser, RFC5424 protocol: PRI/VERSION, ISO-8601
+    timestamp, hostname/app/procid/msgid ('-' = nil), structured-data
+    flattened to a map keyed '<sd-id>.<param>', free-form message."""
+    text = F.col(text_col)
+
+    def g(i: int) -> Column:
+        return F.nullif(F.regexp_extract(text, SYSLOG_RFC5424_RE, i), F.lit(""))
+
+    def nil_dash(c: Column) -> Column:
+        return F.when(c == "-", F.lit(None)).otherwise(c)
+
+    pri = g(1).cast("int")
+    sd = g(8)
+    sd_id = F.regexp_extract(sd, r"^\[([^\s\]]+)", 1)
+    sd_keys = F.regexp_extract_all(sd, F.lit(r'([\w@.\-]+)="[^"]*"'), 1)
+    sd_vals = F.regexp_extract_all(sd, F.lit(r'[\w@.\-]+="([^"]*)"'), 1)
+    sd_map = F.when(
+        sd.isNotNull() & (sd != "-"),
+        F.map_from_arrays(
+            F.transform(sd_keys, lambda k: F.concat(sd_id, F.lit("."), k)), sd_vals
+        ),
+    )
+    return (
+        df.withColumn("syslog_facility", (pri / 8).cast("int"))
+        .withColumn("syslog_severity", F.pmod(pri, F.lit(8)).cast("int"))
+        .withColumn("syslog_version", g(2).cast("int"))
+        .withColumn("syslog_ts", F.try_to_timestamp(nil_dash(g(3))))
+        .withColumn("syslog_host", nil_dash(g(4)))
+        .withColumn("syslog_app", nil_dash(g(5)))
+        .withColumn("syslog_pid", nil_dash(g(6)).try_cast("long"))
+        .withColumn("syslog_msgid", nil_dash(g(7)))
+        .withColumn("syslog_sd", sd_map)
+        .withColumn("syslog_msg", g(9))
+    )
+
+
+_HEX_RE = "^(?:[0-9a-fA-F]{2})+$"
+
+
+def parse_trace(
+    df: DataFrame,
+    trace_id_col: str = "trace_id",
+    span_id_col: str = "span_id",
+    flags_col: str = "trace_flags",
+) -> DataFrame:
+    """stanza trace parser (`pkg/stanza/operator/helper/trace.go:78-111`):
+    best-effort hex decode of trace_id/span_id/trace_flags — invalid hex
+    becomes NULL (error_mode=ignore analog), valid values normalize to
+    lowercase hex."""
+    out = df
+    for col in (trace_id_col, span_id_col, flags_col):
+        if col in df.columns:
+            c = F.col(col).cast("string")
+            out = out.withColumn(
+                col, F.when(c.rlike(_HEX_RE), F.lower(c))
+            )
+    return out
+
+
+def parse_scope(
+    df: DataFrame, parse_from: str, out_col: str = "scope_name"
+) -> DataFrame:
+    """stanza scope_name parser (`pkg/stanza/operator/helper/scope_name.go`):
+    copy the logger-name field into the instrumentation scope."""
+    return df.withColumn(out_col, F.col(parse_from).cast("string"))

@@ -101,3 +101,60 @@ def split_by_route(df: DataFrame, route_names: list[str], route_col: str = "rout
     once, mirroring the reference's group-before-dispatch optimization
     (`routingconnector/logs.go:119-124`)."""
     return {name: df.filter(F.col(route_col) == name) for name in route_names}
+
+
+# ---------------------------------------------------------------------------
+# request context (`connector/routingconnector/request.go:32-77`)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+
+def parse_request_condition(condition: str) -> tuple[str, str, str]:
+    """'request["<name>"] ==|!= "<value>"' -> (name, comparator, value).
+
+    Mirrors the reference's deliberately tiny grammar and its error cases
+    (empty condition, zero/multiple comparators, malformed sides).
+    """
+    if not condition:
+        raise ValueError("condition is empty")
+    comparators = _re.findall(r"==|!=", condition)
+    if len(comparators) == 0:
+        raise ValueError("condition does not contain a valid comparator")
+    if len(comparators) > 1:
+        raise ValueError("condition contains multiple comparators")
+    parts = condition.split(comparators[0])
+    if len(parts) != 2:
+        raise ValueError("condition does not contain a valid comparator")
+    lhs, rhs = parts[0].strip(), parts[1].strip()
+    if not _re.search(r'request\[".*"\]', lhs):
+        raise ValueError('condition must have format \'request["<name>"] <comparator> <value>\'')
+    if not _re.search(r'".*"', rhs):
+        raise ValueError('condition must have format \'request["<name>"] <comparator> "<value>"\'')
+    name = lhs[len('request["'):-len('"]')]
+    value = rhs[1:-1]
+    return name, comparators[0], value
+
+
+def request_condition(condition: str, request_metadata: dict | None) -> Column:
+    """Batch-level request-context route condition -> constant Column.
+
+    The reference evaluates request conditions against gRPC/HTTP metadata of
+    the whole incoming request (`request.go:79-107`): a missing key never
+    matches (even for !=), and multi-valued keys match if ANY value
+    satisfies the comparator. In Spark the analog of the request is the
+    ingest batch, so the condition folds to a literal that routes the whole
+    batch (Catalyst then prunes dead route branches for free).
+    """
+    name, op, want = parse_request_condition(condition)
+    md = request_metadata or {}
+    vals = md.get(name.lower(), md.get(name))
+    if vals is None:
+        return F.lit(False)
+    if isinstance(vals, str):
+        vals = [vals]
+    if op == "==":
+        hit = any(v == want for v in vals)
+    else:
+        hit = any(v != want for v in vals)
+    return F.lit(bool(hit))

@@ -24,10 +24,23 @@ from pyspark.sql import functions as F
 _NUM_BUCKETS = 0x4000  # 2^14, matching the reference's scaled space
 
 
-def sample_predicate(key: Column, percentage: float, seed: int = 22) -> Column:
+def _bucket(key: Column, seed: int, hash_impl: str) -> Column:
+    if hash_impl == "xxhash64":
+        return F.pmod(F.xxhash64(key.cast("string"), F.lit(seed)), F.lit(_NUM_BUCKETS))
+    # md5_48: engine-portable twin (DuckDB computes the identical bucket
+    # from the same md5 hex prefix) — semantics identical, constants differ
+    h = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(f":{seed}"))), 1, 12),
+        16, 10,
+    ).cast("long")
+    return F.pmod(h, F.lit(_NUM_BUCKETS))
+
+
+def sample_predicate(
+    key: Column, percentage: float, seed: int = 22, hash_impl: str = "xxhash64"
+) -> Column:
     threshold = int(percentage / 100.0 * _NUM_BUCKETS)
-    bucket = F.pmod(F.xxhash64(key.cast("string"), F.lit(seed)), F.lit(_NUM_BUCKETS))
-    return bucket < threshold
+    return _bucket(key, seed, hash_impl) < threshold
 
 
 def probabilistic_sample(
@@ -36,6 +49,7 @@ def probabilistic_sample(
     percentage: float,
     seed: int = 22,
     priority_col: str | None = None,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Keep ~percentage% of rows, deterministically by key hash.
 
@@ -43,11 +57,10 @@ def probabilistic_sample(
     falls back to the configured percentage, 0 always drops, 100 always keeps.
     """
     if priority_col is None:
-        return df.filter(sample_predicate(F.col(key_col), percentage, seed))
+        return df.filter(sample_predicate(F.col(key_col), percentage, seed, hash_impl))
     pct = F.coalesce(F.col(priority_col).cast("double"), F.lit(float(percentage)))
     threshold = (pct / 100.0 * _NUM_BUCKETS).cast("long")
-    bucket = F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.lit(_NUM_BUCKETS))
-    return df.filter(bucket < threshold)
+    return df.filter(_bucket(F.col(key_col), seed, hash_impl) < threshold)
 
 
 # ---------------------------------------------------------------------------

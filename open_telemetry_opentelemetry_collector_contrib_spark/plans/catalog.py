@@ -241,11 +241,23 @@ WHERE (CASE WHEN event_type = 'view' THEN {_T10} ELSE {_T50} END) <= {_OTEP_RND_
 
 
 def q_sample_hash_transcripts(spark, sf_dir):
-    """hash_seed sampler on conv_id (xxhash64; no SQL oracle — rows-only)."""
+    """hash_seed sampler on conv_id — portable md5-48 hash variant so the
+    bucket arithmetic is oracle-checked (the xxhash64 production default is
+    the same program with a different hash constant)."""
     t = datagen.transcripts(spark, sf_dir)
-    return sample_ops.probabilistic_sample(t, "conv_id", 25.0).select(
-        "conv_id", "turn_idx"
-    )
+    return sample_ops.probabilistic_sample(
+        t, "conv_id", 25.0, hash_impl="md5_48"
+    ).select("conv_id", "turn_idx")
+
+
+O_SAMPLE_HASH = (
+    _PREFIX
+    + """
+SELECT conv_id, turn_idx FROM transcripts_cte
+WHERE (list_reduce([strpos('0123456789abcdef', substring(md5(conv_id || ':22'), i, 1)) - 1
+                    for i in range(1, 13)], (a,b) -> a*16 + b)) % 16384 < 4096
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -586,7 +598,7 @@ CATALOG_ORACLES = {
     "transform_statements": O_TRANSFORM,
     "logdedup_transcripts": O_LOGDEDUP,
     "sample_lcg_events": O_SAMPLE_LCG,
-    # sample_hash_transcripts: xxhash64 not in DuckDB -> rows-only check
+    "sample_hash_transcripts": O_SAMPLE_HASH,
     "delta_to_cumulative": O_D2C,
     "cumulative_to_delta": O_C2D,
     "delta_to_rate": O_RATE,

@@ -305,6 +305,50 @@ FROM p
 """
 
 
+# RFC5424 line derived from events; SD carries one param so the structured-
+# data flatten path is exercised (pkg/stanza/operator/parser/syslog RFC5424)
+_SYSLOG5424_LINE = (
+    "'<' || CAST(event_id % 192 AS {STR}) || '>1 ' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')"
+    " || ' host-' || CAST(user_id AS {STR}) || ' app' || CAST(user_id % 7 AS {STR})"
+    " || ' ' || CAST(event_id AS {STR}) || ' ID' || CAST(event_id % 10 AS {STR})"
+    " || ' [ex@32473 iut=\"' || CAST(event_id % 4 AS {STR}) || '\"] ' || event_type"
+)
+
+
+def q_syslog_rfc5424_parse(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    line = _SYSLOG5424_LINE.replace("{STR}", "STRING").replace(
+        "strftime(ts, '%Y-%m-%dT%H:%M:%SZ')", "date_format(ts, 'yyyy-MM-dd\\'T\\'HH:mm:ss\\'Z\\'')"
+    )
+    df = spark.sql(f"SELECT event_id, {line} AS text FROM events")
+    out = parse_ops.parse_syslog_rfc5424(df)
+    return out.select(
+        "event_id", "syslog_facility", "syslog_severity", "syslog_version",
+        F.unix_timestamp("syslog_ts").alias("syslog_ts_s"),
+        "syslog_host", "syslog_app", "syslog_pid", "syslog_msgid",
+        F.col("syslog_sd")["ex@32473.iut"].alias("sd_iut"),
+        "syslog_msg",
+    )
+
+
+def _syslog5424_oracle() -> str:
+    return """
+SELECT event_id,
+  CAST((event_id % 192) // 8 AS INT) AS syslog_facility,
+  CAST((event_id % 192) % 8 AS INT) AS syslog_severity,
+  1 AS syslog_version,
+  CAST(floor(epoch(ts)) AS BIGINT) AS syslog_ts_s,
+  'host-' || CAST(user_id AS VARCHAR) AS syslog_host,
+  'app' || CAST(user_id % 7 AS VARCHAR) AS syslog_app,
+  event_id AS syslog_pid,
+  'ID' || CAST(event_id % 10 AS VARCHAR) AS syslog_msgid,
+  CAST(event_id % 4 AS VARCHAR) AS sd_iut,
+  event_type AS syslog_msg
+FROM events
+"""
+
+
 def q_severity_map(spark, sf_dir):
     df = pipeline.parsed(spark, sf_dir)
     return df.select(
@@ -582,6 +626,7 @@ CATALOG2_QUERIES = {
     "aggregate_labels": q_aggregate_labels,
     "aggregate_label_values": q_aggregate_label_values,
     "syslog_parse": q_syslog_parse,
+    "syslog_rfc5424_parse": q_syslog_rfc5424_parse,
     "severity_map": q_severity_map,
     "container_parse": q_container_parse,
     "uri_parse": q_uri_parse,
@@ -602,6 +647,7 @@ CATALOG2_ORACLES = {
     "aggregate_labels": O_AGGREGATE_LABELS,
     "aggregate_label_values": O_AGGREGATE_LABEL_VALUES,
     "syslog_parse": _syslog_oracle(),
+    "syslog_rfc5424_parse": _syslog5424_oracle(),
     "severity_map": O_SEVERITY_MAP,
     "container_parse": O_CONTAINER_PARSE,
     "uri_parse": O_URI_PARSE,

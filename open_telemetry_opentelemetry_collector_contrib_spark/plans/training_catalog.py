@@ -159,20 +159,123 @@ WHERE CAST(common AS DOUBLE) / (count_a + count_b - common) >= {_JAC_THRESHOLD}
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
+    """Portable variant (md5-48 base hash, raw band-string buckets) so the
+    banded-LSH program is oracle-checked end to end; plan shape identical to
+    the crc32/xxhash production path."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedupe.minhash_lsh_pairs(docs, n=_JAC_N)
+    return dedupe.minhash_lsh_pairs(docs, n=_JAC_N, portable=True)
+
+
+# DuckDB twin of md5_48(): first 12 md5 hex chars as a 48-bit int
+_HX = (
+    "list_reduce([strpos('0123456789abcdef', substring(md5({s}), i, 1)) - 1 "
+    "for i in range(1, 13)], (a,b) -> a*16 + b)"
+)
+_P31 = (1 << 31) - 1
+
+
+def _minhash_lsh_oracle(n=_JAC_N, num_hashes=64, bands=16, max_bucket=200) -> str:
+    params = dedupe._hash_params(num_hashes, seed=42)
+    rpb = num_hashes // bands
+    mins = ",\n    ".join(
+        f"min((CAST({a} AS BIGINT) * x + {b}) % {_P31}) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bucket FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(h{b * rpb + j} AS VARCHAR)" for j in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    hx = _HX.format(s="s")
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ws) - {n - 1} >= 1
+      THEN [array_to_string(ws[i:i+{n - 1}], ' ') for i in range(1, len(ws) - {n - 2})]
+      ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM words
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), hx AS (
+  SELECT doc_id, ({hx}) % {_P31} AS x FROM ex
+), sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM hx GROUP BY doc_id
+), banded AS (
+  {band_selects}
+), keep AS (
+  SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) <= {max_bucket}
+), fb AS (
+  SELECT banded.* FROM banded JOIN keep USING (band, bucket)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM fb a JOIN fb b USING (band, bucket)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+_SIM_BITS = 48
 
 
 def q_simhash_docs(spark, sf_dir):
+    """Portable variant: 48-bit SimHash over the md5-48 token hash (same
+    program, oracle-checkable; production default stays xxhash64/64-bit)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedupe.simhash(docs)
+    return dedupe.simhash(docs, bits=_SIM_BITS, base_hash="md5_48")
+
+
+def _simhash_oracle() -> str:
+    hx = _HX.format(s="t")
+    terms = "\n    + ".join(
+        f"CASE WHEN list_sum(list_transform(hv, h -> "
+        f"CASE WHEN (h // {1 << bit}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << bit} ELSE 0 END"
+        for bit in range(_SIM_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts FROM documents
+), hs AS (
+  SELECT doc_id, list_transform(ts, t -> {hx}) AS hv FROM toks
+)
+SELECT doc_id, CAST(
+    {terms}
+  AS BIGINT) AS simhash
+FROM hs
+"""
 
 
 def q_fingerprint_docs(spark, sf_dir):
+    """Portable variant: md5-48 winnowing fingerprint (oracle-checkable)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", text_fns.fingerprint_winnow(F.col("text")).alias("fingerprint")
+        "doc_id",
+        text_fns.fingerprint_winnow(F.col("text"), base_hash="md5_48").alias(
+            "fingerprint"
+        ),
     )
+
+
+def _fingerprint_oracle(n=8) -> str:
+    hx = _HX.format(s="s")
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= {n}
+      THEN [substring(text, i, {n}) for i in range(1, length(text) - {n - 2})]
+      ELSE [text] END AS shingles
+  FROM documents
+)
+SELECT doc_id, list_min(list_transform(shingles, s -> {hx})) AS fingerprint
+FROM sh
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -468,7 +571,9 @@ TRAINING_ORACLES = {
     "token_counts": O_TOKEN_COUNTS,
     "lang_id": _lang_id_oracle(),
     "ngram_jaccard_pairs": O_NGRAM_JACCARD,
-    # minhash/simhash/fingerprint: xxhash64-based -> rows-only driver check
+    "minhash_lsh_pairs": _minhash_lsh_oracle(),
+    "simhash_docs": _simhash_oracle(),
+    "fingerprint_docs": _fingerprint_oracle(),
     "ann_cosine_topk": O_ANN_BRUTEFORCE,
     "ann_cosine_lsh": _ann_lsh_oracle(),
     "embedding_near_dup": _near_dup_oracle(),

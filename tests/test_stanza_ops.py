@@ -54,3 +54,83 @@ def test_detect_resource(spark, monkeypatch):
     assert out.deployment_environment == "staging"
     assert out.os_type == "linux"
     assert out.host_name
+
+
+def test_trace_parser_best_effort_hex(spark):
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators import parse as p
+
+    df = spark.createDataFrame(
+        [
+            ("0102030405060708090A0B0C0D0E0F10", "0102030405060708", "01"),
+            ("nothex", "0102", "1"),  # bad trace id; odd-length flags
+            (None, None, None),
+        ],
+        ["trace_id", "span_id", "trace_flags"],
+    )
+    rows = p.parse_trace(df).collect()
+    assert rows[0].trace_id == "0102030405060708090a0b0c0d0e0f10"  # lowercased
+    assert rows[0].span_id == "0102030405060708"
+    assert rows[0].trace_flags == "01"
+    assert rows[1].trace_id is None  # invalid hex -> nil (trace.go:78-88)
+    assert rows[1].span_id == "0102"
+    assert rows[1].trace_flags is None  # odd length
+    assert rows[2].trace_id is None
+
+
+def test_scope_parser(spark):
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators import parse as p
+
+    df = spark.createDataFrame([("my.logger", 1)], ["logger_name", "x"])
+    out = p.parse_scope(df, "logger_name").collect()[0]
+    assert out.scope_name == "my.logger"
+
+
+def test_request_condition_grammar():
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators.route import (
+        parse_request_condition,
+    )
+    import pytest as _pytest
+
+    assert parse_request_condition('request["X-Tenant"] == "acme"') == ("X-Tenant", "==", "acme")
+    assert parse_request_condition('request["k"] != "v"') == ("k", "!=", "v")
+    for bad in (
+        "",
+        'request["k"] "v"',            # no comparator
+        'request["k"] == "v" != "w"',  # multiple comparators
+        'notrequest == "v"',           # lhs format
+        'request["k"] == v',           # rhs not quoted
+    ):
+        with _pytest.raises(ValueError):
+            parse_request_condition(bad)
+
+
+def test_request_context_routing(spark):
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators.route import (
+        Route,
+        request_condition,
+        with_route_first_match,
+    )
+
+    df = spark.createDataFrame([(i, "a" if i % 2 else "b") for i in range(10)], ["i", "k"])
+    md = {"x-tenant": ["acme"]}
+    # matching request route claims the whole batch ahead of resource routes
+    routes = [
+        Route("tenant_sink", request_condition('request["X-Tenant"] == "acme"', md)),
+        Route("a_sink", F.col("k") == "a"),
+    ]
+    out = with_route_first_match(df, routes)
+    assert {r.route for r in out.collect()} == {"tenant_sink"}
+    # non-matching request metadata falls through per-record
+    routes2 = [
+        Route("tenant_sink", request_condition('request["X-Tenant"] == "other"', md)),
+        Route("a_sink", F.col("k") == "a"),
+    ]
+    out2 = with_route_first_match(df, routes2)
+    got = {(r.i, r.route) for r in out2.collect()}
+    assert all(route == ("a_sink" if i % 2 else "default") for i, route in got)
+    # missing metadata key never matches, even for != (request.go:84-96)
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators.route import (
+        request_condition as rc,
+    )
+    df1 = spark.createDataFrame([(1,)], ["i"])
+    assert df1.filter(rc('request["absent"] != "v"', md)).count() == 0
