@@ -38,6 +38,7 @@ from ..operators import enrich as enrich_ops
 from ..operators import parse as parse_ops
 from ..operators.aggregate import windowed_count
 from ..operators.route import with_route_first_match
+from ..sources import sinks as sinks_io
 from . import pipeline as flagship
 
 
@@ -69,6 +70,8 @@ class PipelineRunner:
         num_chunks: int = 4,
         window_s: int = flagship.WINDOW_S,
         salt_buckets: int = 8,
+        fmt: str = "parquet",
+        table_prefix: str = "otelcol.sinks",
     ):
         self.spark = spark
         self.source = source
@@ -76,6 +79,12 @@ class PipelineRunner:
         self.num_chunks = num_chunks
         self.window_s = window_s
         self.salt_buckets = salt_buckets
+        # fmt='iceberg' routes every sink write through sinks.write_table
+        # against `<table_prefix>.route_<sink>` tables (append = snapshot
+        # commit per chunk); 'parquet' writes chunked directories. The
+        # lineage/resume protocol is identical either way.
+        self.fmt = fmt
+        self.table_prefix = table_prefix
         self.lineage_dir = os.path.join(out_dir, "lineage")
         os.makedirs(self.lineage_dir, exist_ok=True)
 
@@ -158,13 +167,19 @@ class PipelineRunner:
             .persist()
         )
         for sink in flagship.SINKS:
-            dst = os.path.join(sink_dir, f"route={sink}", chunk_glob)
-            (
-                ordered.filter(F.col("route") == sink)
-                .drop("route")
-                .write.mode("overwrite")
-                .parquet(dst)
-            )
+            per_sink = ordered.filter(F.col("route") == sink).drop("route")
+            if self.fmt == "iceberg":
+                # per-sink Iceberg table, one append (= one snapshot) per
+                # chunk; chunk_id column keeps chunk lineage queryable
+                sinks_io.write_table(
+                    per_sink.withColumn("chunk_id", F.lit(chunk_id)),
+                    f"{self.table_prefix}.route_{sink}",
+                    mode="append",
+                    fmt="iceberg",
+                )
+            else:
+                dst = os.path.join(sink_dir, f"route={sink}", chunk_glob)
+                per_sink.write.mode("overwrite").parquet(dst)
 
         metrics = {k: int(v) for k, v in obs.get.items()}
 
@@ -172,9 +187,17 @@ class PipelineRunner:
         # to absorb hot conv_ids, written per chunk (delta temporality, like
         # the count connector's per-batch emission)
         counts = self._salted_counts(ordered)
-        counts.write.mode("overwrite").parquet(
-            os.path.join(self.out_dir, "counts", chunk_glob)
-        )
+        if self.fmt == "iceberg":
+            sinks_io.write_table(
+                counts.withColumn("chunk_id", F.lit(chunk_id)),
+                f"{self.table_prefix}.counts",
+                mode="append",
+                fmt="iceberg",
+            )
+        else:
+            counts.write.mode("overwrite").parquet(
+                os.path.join(self.out_dir, "counts", chunk_glob)
+            )
         ordered.unpersist()
 
         res = ChunkResult(

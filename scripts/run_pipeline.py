@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--fresh", action="store_true", help="clear lineage before running")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"],
+                    help="sink format: parquet directories or Iceberg tables (needs the Iceberg runtime on the classpath)")
+    ap.add_argument("--table-prefix", default="otelcol.sinks",
+                    help="catalog.db prefix for --format=iceberg sink tables")
     args = ap.parse_args()
 
     from open_telemetry_opentelemetry_collector_contrib_spark.plans.runner import (
@@ -47,7 +51,10 @@ def main() -> None:
         source = os.path.join(args.out, "transcripts_src")
         materialize_transcripts(spark, args.sf_dir, source, num_files=args.chunks * 2)
 
-    runner = PipelineRunner(spark, source, args.out, num_chunks=args.chunks)
+    runner = PipelineRunner(
+        spark, source, args.out, num_chunks=args.chunks,
+        fmt=args.format, table_prefix=args.table_prefix,
+    )
     if args.fresh and os.path.isdir(runner.lineage_dir):
         for f in os.listdir(runner.lineage_dir):
             os.remove(os.path.join(runner.lineage_dir, f))
