@@ -566,6 +566,64 @@ FROM events
 """
 
 
+_OTLP_BODY_SQL = (
+    """'{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc-'"""
+    """ || CAST(user_id % 5 AS {STR}) || '"}}]},"scopeLogs":[{"scope":{"name":"gen"},"logRecords":["""
+    """{"timeUnixNano":"' || CAST({EPOCH} AS {STR}) || '000000000","severityNumber":9,"severityText":"INFO","""
+    """"body":{"stringValue":"' || event_type || ' #' || CAST(event_id AS {STR}) || '"},"""
+    """"attributes":[{"key":"k","value":{"stringValue":"' || CAST(event_id % 7 AS {STR}) || '"}}]},"""
+    """{"timeUnixNano":"' || CAST({EPOCH} AS {STR}) || '000000001","severityNumber":17,"severityText":"ERROR","""
+    """"body":{"stringValue":"fail #' || CAST(event_id AS {STR}) || '"},"""
+    """"attributes":[{"key":"k","value":{"stringValue":"x"}}]}]}]}]}'"""
+)
+
+
+def q_otlpjson_explode(spark, sf_dir):
+    """otlpjsonconnector: bodies embedding OTLP/JSON Logs batches explode to
+    one row per inner logRecord (connector/otlpjsonconnector/logs.go:43-79);
+    from_json + triple Generate, all Catalyst."""
+    from ..operators.otlpjson import explode_otlp_logs
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    body = _OTLP_BODY_SQL.replace("{STR}", "STRING").replace(
+        "{EPOCH}", "unix_timestamp(ts)"
+    )
+    df = spark.sql(f"SELECT event_id, {body} AS body FROM events")
+    out = explode_otlp_logs(df, keep_cols=["event_id"])
+    return out.select(
+        "event_id",
+        F.col("resource_attrs")["service.name"].alias("service_name"),
+        "scope_name",
+        "time_unix_nano",
+        "severity_number",
+        "severity_text",
+        "body",
+        F.col("attributes")["k"].alias("attr_k"),
+    )
+
+
+O_OTLP_EXPLODE = """
+SELECT event_id,
+       'svc-' || CAST(user_id % 5 AS VARCHAR) AS service_name,
+       'gen' AS scope_name,
+       CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 AS time_unix_nano,
+       9 AS severity_number, 'INFO' AS severity_text,
+       event_type || ' #' || CAST(event_id AS VARCHAR) AS body,
+       CAST(event_id % 7 AS VARCHAR) AS attr_k
+FROM events
+UNION ALL
+SELECT event_id,
+       'svc-' || CAST(user_id % 5 AS VARCHAR),
+       'gen',
+       CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 + 1,
+       17, 'ERROR',
+       'fail #' || CAST(event_id AS VARCHAR),
+       'x'
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -588,6 +646,7 @@ CATALOG_QUERIES = {
     "events_props_json": q_events_props_json,
     "kv_roundtrip_events": q_kv_roundtrip_events,
     "grok_apache_clf": q_grok_apache_clf,
+    "otlpjson_explode": q_otlpjson_explode,
     "sample_otep235_proportional": q_sample_otep235_proportional,
     "sample_otep235_equalizing": q_sample_otep235_equalizing,
 }
@@ -610,6 +669,7 @@ CATALOG_ORACLES = {
     "events_props_json": O_PROPS_JSON,
     "kv_roundtrip_events": O_KV_ROUNDTRIP,
     "grok_apache_clf": O_GROK_CLF,
+    "otlpjson_explode": O_OTLP_EXPLODE,
     "sample_otep235_proportional": O_OTEP_PROP,
     "sample_otep235_equalizing": O_OTEP_EQ,
 }

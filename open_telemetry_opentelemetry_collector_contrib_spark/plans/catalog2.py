@@ -136,6 +136,42 @@ SELECT s.trace_id, s.span_id FROM spans s JOIN keep USING (trace_id)
 )
 
 
+def q_tail_sampling_policies(spark, sf_dir):
+    """Full policy-table engine: AND-composite (error status AND >=8 spans)
+    OR a numeric-attribute range policy — deterministic, oracle-checked
+    (config.go:12-52 policy set; probabilistic/rate policies covered in
+    tests/test_tail_policies.py)."""
+    from ..operators.traces import TailPolicy, tail_sample_policies
+
+    policies = [
+        TailPolicy(
+            "and",
+            sub_policies=[
+                TailPolicy("status_code", status_codes=["err"]),
+                TailPolicy("span_count", min_spans=8),
+            ],
+        ),
+        TailPolicy("numeric_attribute", key="duration_ms", min_value=4800),
+    ]
+    out = tail_sample_policies(_spans(spark, sf_dir), policies)
+    return out.select("trace_id", "span_id")
+
+
+O_TAIL_POLICIES = (
+    _PREFIX
+    + _SPANS_CTE
+    + """
+, keep AS (
+  SELECT trace_id FROM spans
+  GROUP BY trace_id
+  HAVING (max(CASE WHEN status = 'err' THEN 1 ELSE 0 END) = 1 AND count(*) >= 8)
+      OR max(CASE WHEN duration_ms >= 4800 THEN 1 ELSE 0 END) = 1
+)
+SELECT s.trace_id, s.span_id FROM spans s JOIN keep USING (trace_id)
+"""
+)
+
+
 def q_service_graph(spark, sf_dir):
     return trace_ops.service_graph(_spans(spark, sf_dir))
 
@@ -620,6 +656,7 @@ CATALOG2_QUERIES = {
     "redact_attributes": q_redact_attributes,
     "group_by_trace": q_group_by_trace,
     "tail_sampling": q_tail_sampling,
+    "tail_sampling_policies": q_tail_sampling_policies,
     "service_graph": q_service_graph,
     "exceptions_connector": q_exceptions,
     "metrics_calculate": q_metrics_calculate,
@@ -641,6 +678,7 @@ CATALOG2_ORACLES = {
     "redact_attributes": O_REDACT,
     "group_by_trace": O_GROUP_BY_TRACE,
     "tail_sampling": O_TAIL_SAMPLING,
+    "tail_sampling_policies": O_TAIL_POLICIES,
     "service_graph": O_SERVICE_GRAPH,
     "exceptions_connector": O_EXCEPTIONS,
     "metrics_calculate": O_METRICS_CALCULATE,

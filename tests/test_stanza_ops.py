@@ -134,3 +134,31 @@ def test_request_context_routing(spark):
     )
     df1 = spark.createDataFrame([(1,)], ["i"])
     assert df1.filter(rc('request["absent"] != "v"', md)).count() == 0
+
+
+def test_otlpjson_signal_routing(spark):
+    """Metric/trace payloads and invalid bodies are skipped (logs.go:58-74)."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators.otlpjson import (
+        explode_otlp_logs,
+    )
+
+    logs_body = (
+        '{"resourceLogs":[{"resource":{},"scopeLogs":[{"scope":{"name":"s"},'
+        '"logRecords":[{"severityNumber":5,"body":{"stringValue":"hi"},'
+        '"attributes":[{"key":"n","value":{"intValue":"42"}}]}]}]}]}'
+    )
+    df = spark.createDataFrame(
+        [
+            (1, logs_body),
+            (2, '{"resourceMetrics":[{}]}'),
+            (3, '{"resourceSpans":[{}]}'),
+            (4, "not json at all"),
+        ],
+        ["rid", "body"],
+    )
+    out = explode_otlp_logs(df, keep_cols=["rid"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.rid == 1 and r.body == "hi" and r.severity_number == 5
+    assert r.attributes["n"] == "42"  # intValue surfaces via AnyValue coalesce
+    assert r.scope_name == "s"
