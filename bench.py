@@ -50,6 +50,12 @@ BENCH_QUERIES = [
     "service_graph",
     "signal_to_metrics",
     "syslog_parse",
+    "syslog_rfc5424_parse",
+    "grok_apache_clf",
+    "otlpjson_explode",
+    "sample_otep235_proportional",
+    "tail_sampling_policies",
+    "curation_pipeline",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"
@@ -118,16 +124,17 @@ def scaling_worker(cores: int) -> None:
     spark = get_spark(app_name=f"bench-scaling-{cores}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
     run_e2e_on_scaled(spark)  # warm: JVM, codegen, parquet footers
-    # min of 3: this sandbox shares the host with other tenants, so
-    # individual runs absorb external load spikes; the min approximates the
-    # uncontended time (which is what executor scaling actually measures)
-    secs = min(run_e2e_on_scaled(spark) for _ in range(3))
+    # min of 2 within the JVM; the cross-round min in run_scaling adds more
+    # samples (shared host: min approximates the uncontended time, which is
+    # what executor scaling actually measures)
+    secs = min(run_e2e_on_scaled(spark) for _ in range(2))
     print(json.dumps({"cores": cores, "sec": round(secs, 4), "load1": os.getloadavg()[0]}))
     spark.stop()
 
 
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "4"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "16"))
+SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
 
 
 def run_scaling(sf_dir: str, rep: int) -> dict:
@@ -135,20 +142,32 @@ def run_scaling(sf_dir: str, rep: int) -> dict:
     local[16] rather than 8/32: at 32 threads this single box saturates
     memory bandwidth (shared-resource contention a real 4N-executor cluster
     does not have), which under-measures executor scaling. See BASELINE.md
-    for the full 4/8/16/32 sweep."""
+    for the full 4/8/16/32 sweep.
+
+    Trials are INTERLEAVED (low, high, low, high, ...) across rounds so an
+    external-tenant load spike degrades both levels instead of silently
+    corrupting one block (a low-then-high schedule read 0.57 efficiency
+    under a spike that a clean host measures at ~0.85)."""
+    best: dict[int, float] = {}
+    load: dict[int, float] = {}
+    for _ in range(SCALE_ROUNDS):
+        for cores in (SCALE_LOW, SCALE_HIGH):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                timeout=1200,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            rec = json.loads(line)
+            if cores not in best or rec["sec"] < best[cores]:
+                best[cores] = rec["sec"]
+                load[cores] = rec.get("load1")
     out = {}
     for cores in (SCALE_LOW, SCALE_HIGH):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)],
-            capture_output=True,
-            text=True,
-            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-            timeout=1200,
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        rec = json.loads(line)
-        out[cores] = rec["sec"]
-        out[f"load1_{cores}"] = rec.get("load1")
+        out[cores] = best[cores]
+        out[f"load1_{cores}"] = load[cores]
     return out
 
 

@@ -409,9 +409,20 @@ def jaccard_verified_pairs_lsh(
     cand = minhash_lsh_pairs(
         df, text_col, id_col, n, num_hashes, bands, seed, max_bucket_size
     )
+    # shingle-frequency cap is computed over the FULL corpus (must mirror
+    # the exact path's cap), but the per-doc shingle SETS — the expensive
+    # collect_set — are built only for docs that appear in a candidate pair
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
     sh = shingle_table(df, text_col, id_col, n)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-    capped = sh.join(freq.filter(F.col("freq") <= max_shingle_freq), "shingle")
+    cand_sh = shingle_table(
+        df.join(cand_ids, id_col, "left_semi"), text_col, id_col, n
+    )
+    capped = cand_sh.join(freq.filter(F.col("freq") <= max_shingle_freq), "shingle")
     sets_df = capped.groupBy(id_col).agg(
         F.collect_set("shingle").alias("sh_set"),
         F.first("shingle_count").alias("n_sh"),

@@ -126,6 +126,81 @@ def parse_container_docker(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# crio / containerd CRI line formats + k8s log-path metadata
+# (`pkg/stanza/operator/parser/container/parser.go:25-42`)
+CRI_LINE_RE = r"^([^ Z]+Z?) (stdout|stderr) ([^ ]*) ?(.*)$"
+K8S_LOGPATH_RE = (
+    r"^.*[/\\]([^_]+)_([^_]+)_([a-f0-9\-]+)[/\\]([^._]+)[/\\](\d+)\.log$"
+)
+
+
+def parse_container_cri(
+    df: DataFrame, text_col: str = "text", path_col: str | None = None
+) -> DataFrame:
+    """stanza container parser, crio/containerd formats: CRI line =
+    `<time> <stream> <P|F logtag> <log>`; partial (P) lines recombine with
+    the following lines of the same (source, stream) until an F tag —
+    the parser's internal recombine (`parser.go:28,61`) expressed as the
+    standard sessionization window. Optional k8s log-path attribute
+    extraction (namespace/pod/uid/container/restart_count)."""
+    text = F.col(text_col)
+    out = (
+        df.withColumn(
+            "container_time", F.try_to_timestamp(F.regexp_extract(text, CRI_LINE_RE, 1))
+        )
+        .withColumn("container_stream", F.nullif(F.regexp_extract(text, CRI_LINE_RE, 2), F.lit("")))
+        .withColumn("container_logtag", F.nullif(F.regexp_extract(text, CRI_LINE_RE, 3), F.lit("")))
+        .withColumn("container_log", F.regexp_extract(text, CRI_LINE_RE, 4))
+    )
+    if path_col is not None:
+        pathc = F.col(path_col)
+        out = (
+            out.withColumn("k8s_namespace", F.nullif(F.regexp_extract(pathc, K8S_LOGPATH_RE, 1), F.lit("")))
+            .withColumn("k8s_pod_name", F.nullif(F.regexp_extract(pathc, K8S_LOGPATH_RE, 2), F.lit("")))
+            .withColumn("k8s_pod_uid", F.nullif(F.regexp_extract(pathc, K8S_LOGPATH_RE, 3), F.lit("")))
+            .withColumn("k8s_container_name", F.nullif(F.regexp_extract(pathc, K8S_LOGPATH_RE, 4), F.lit("")))
+            .withColumn("k8s_restart_count", F.nullif(F.regexp_extract(pathc, K8S_LOGPATH_RE, 5), F.lit("")).try_cast("int"))
+        )
+    return out
+
+
+def recombine_cri_partials(
+    df: DataFrame,
+    source_cols: list[str],
+    order_col: str,
+    log_col: str = "container_log",
+    tag_col: str = "container_logtag",
+) -> DataFrame:
+    """CRI partial-line recombine: a group is a run of P-tagged lines closed
+    by an F line; emit one row per group with logs concatenated in order
+    (recombine with is_last_entry = logtag == 'F', parser.go:61 +
+    transformer/recombine). Sessionization: group id = running count of F
+    tags BEFORE the current row within (source)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*source_cols).orderBy(order_col)
+    prev_f = F.lag(F.when(F.col(tag_col) == "F", 1).otherwise(0), 1, 0).over(w)
+    grp = F.sum(prev_f).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    grouped = df.withColumn("__grp", grp)
+    return (
+        grouped.groupBy(*source_cols, "__grp")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(log_col).alias("l")))
+                    ),
+                    lambda x: x["l"],
+                ),
+            ).alias(log_col),
+            F.min(order_col).alias(order_col),
+            F.max(F.when(F.col(tag_col) == "F", 1).otherwise(0)).alias("__complete"),
+        )
+        .drop("__grp")
+    )
+
+
 def parse_uri(df: DataFrame, uri_col: str, prefix: str = "uri_") -> DataFrame:
     """stanza uri parser: decompose into scheme/host/port/path/query map."""
     u = F.col(uri_col)
@@ -166,17 +241,36 @@ SYSLOG_RFC5424_RE = (
 def parse_syslog_rfc5424(df: DataFrame, text_col: str = "text") -> DataFrame:
     """stanza syslog parser, RFC5424 protocol: PRI/VERSION, ISO-8601
     timestamp, hostname/app/procid/msgid ('-' = nil), structured-data
-    flattened to a map keyed '<sd-id>.<param>', free-form message."""
-    text = F.col(text_col)
+    flattened to a map keyed '<sd-id>.<param>', free-form message.
 
-    def g(i: int) -> Column:
-        return F.nullif(F.regexp_extract(text, SYSLOG_RFC5424_RE, i), F.lit(""))
+    The first six fields are space-delimited by the RFC, so they come from
+    ONE split instead of re-matching the full-line regex once per group
+    (which measured ~2.5x slower); only the short SD+MSG remainder and the
+    PRI header see a regex.
+    """
+    text = F.col(text_col)
+    valid = text.rlike(r"^<\d{1,3}>\d{1,2} ")
+    parts = F.split(text, " ", 7)
+
+    def g_part(i: int) -> Column:
+        # F.get: null on short rows (element_at would throw under ANSI)
+        return F.when(valid, F.nullif(F.get(parts, i), F.lit("")))
 
     def nil_dash(c: Column) -> Column:
         return F.when(c == "-", F.lit(None)).otherwise(c)
 
-    pri = g(1).cast("int")
-    sd = g(8)
+    pri = F.nullif(
+        F.regexp_extract(F.get(parts, 0), r"^<(\d{1,3})>(\d{1,2})$", 1), F.lit("")
+    ).cast("int")
+    pri = F.when(valid, pri)
+    version = F.nullif(
+        F.regexp_extract(F.get(parts, 0), r"^<(\d{1,3})>(\d{1,2})$", 2), F.lit("")
+    ).cast("int")
+    remainder = g_part(6)
+    sd = F.nullif(F.regexp_extract(remainder, r"^(-|(?:\[[^\]]*\])+)", 1), F.lit(""))
+    msg = F.nullif(
+        F.regexp_extract(remainder, r"^(?:-|(?:\[[^\]]*\])+)(?: (.*))?$", 1), F.lit("")
+    )
     sd_id = F.regexp_extract(sd, r"^\[([^\s\]]+)", 1)
     sd_keys = F.regexp_extract_all(sd, F.lit(r'([\w@.\-]+)="[^"]*"'), 1)
     sd_vals = F.regexp_extract_all(sd, F.lit(r'[\w@.\-]+="([^"]*)"'), 1)
@@ -189,14 +283,14 @@ def parse_syslog_rfc5424(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.withColumn("syslog_facility", (pri / 8).cast("int"))
         .withColumn("syslog_severity", F.pmod(pri, F.lit(8)).cast("int"))
-        .withColumn("syslog_version", g(2).cast("int"))
-        .withColumn("syslog_ts", F.try_to_timestamp(nil_dash(g(3))))
-        .withColumn("syslog_host", nil_dash(g(4)))
-        .withColumn("syslog_app", nil_dash(g(5)))
-        .withColumn("syslog_pid", nil_dash(g(6)).try_cast("long"))
-        .withColumn("syslog_msgid", nil_dash(g(7)))
+        .withColumn("syslog_version", version)
+        .withColumn("syslog_ts", F.try_to_timestamp(nil_dash(g_part(1))))
+        .withColumn("syslog_host", nil_dash(g_part(2)))
+        .withColumn("syslog_app", nil_dash(g_part(3)))
+        .withColumn("syslog_pid", nil_dash(g_part(4)).try_cast("long"))
+        .withColumn("syslog_msgid", nil_dash(g_part(5)))
         .withColumn("syslog_sd", sd_map)
-        .withColumn("syslog_msg", g(9))
+        .withColumn("syslog_msg", msg)
     )
 
 

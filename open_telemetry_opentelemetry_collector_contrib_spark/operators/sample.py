@@ -116,7 +116,20 @@ def otep235_threshold_col(prob: Column, precision: int = 4) -> Column:
     pmod; no variable bit-shifts, which Spark only takes as Python ints).
     Out-of-range probability -> NeverSampleThreshold (2^56), matching the
     proportional underflow rule.
+
+    The program references its input ~100 times (precision chain + rounding
+    branches). Catalyst INLINES projected expressions into every reference,
+    so a non-trivial ``prob`` column blows the plan up ~100x (measured 11s
+    vs 0.6s at sf0.1). Binding prob as a transform() lambda variable makes
+    it a true per-row binding — evaluated once, referenced many times.
     """
+    return F.get(
+        F.transform(F.array(prob.cast("double")), lambda p: _otep235_threshold_body(p, precision)),
+        0,
+    )
+
+
+def _otep235_threshold_body(prob: Column, precision: int) -> Column:
     def floor_log2(x: Column) -> Column:
         # exact despite log2 ULP noise (Spark's log2 = ln ratio): candidate
         # from round(log2), then correct by exact power-of-two comparison
@@ -139,17 +152,15 @@ def otep235_threshold_col(prob: Column, precision: int = 4) -> Column:
     )
     scaled = F.floor(prob * F.lit(float(_MAX_ADJ)) + F.lit(0.5)).cast("long")
     thr_raw = F.lit(_MAX_ADJ).cast("long") - scaled
-    rounded = None
-    for pr in range(1, 15):
-        shift = 4 * (14 - pr)
-        if shift == 0:
-            v = thr_raw
-        else:
-            half = thr_raw + F.lit(1 << (shift - 1))
-            v = half - F.pmod(half, F.lit(1 << shift))
-        branch = F.when(prec == pr, v)
-        rounded = branch if rounded is None else rounded.when(prec == pr, v)
-    out = rounded.otherwise(thr_raw)
+    # round to `prec` hex digits: ((x + half) >> shift) << shift with
+    # shift = 4*(14-prec), branch-free — 2^shift via pow(2, .) is exact for
+    # shift <= 52, and the shift itself becomes add + pmod (no variable
+    # bit-shifts in Spark). Keeps the per-row node count small: this body
+    # runs as an interpreted lambda (see otep235_threshold_col).
+    shift_pow = F.pow(F.lit(2.0), ((F.lit(14) - prec) * 4).cast("double")).cast("long")
+    half = (shift_pow / F.lit(2)).cast("long")  # 0 when shift == 0
+    t = thr_raw + half
+    out = t - F.pmod(t, shift_pow)
     return (
         F.when(prob >= 1.0, F.lit(0).cast("long"))
         .when(prob < F.lit(_MIN_PROB), F.lit(_NEVER_T).cast("long"))
@@ -219,10 +230,23 @@ def otep235_sample(
         # never lower an incoming threshold (sampler_mode.go:266-272)
         threshold = F.when(t_in.isNotNull() & (t_in > fixed), t_in).otherwise(F.lit(fixed))
     else:
-        incoming_prob = F.when(
-            t_in.isNotNull(), (F.lit(_MAX_ADJ).cast("long") - t_in) / F.lit(float(_MAX_ADJ))
-        ).otherwise(F.lit(1.0))
-        threshold = otep235_threshold_col(incoming_prob * F.lit(ratio), precision)
+        # no incoming threshold -> probability is the CONSTANT ratio: fold
+        # at config time. Substituting a when-chain probability into the
+        # threshold program replicates it into every of its ~100 references
+        # (Catalyst inlines through CASE) — plan size blew up 4x until the
+        # null branch was folded out here.
+        const_thr = F.lit(prob_to_threshold_py(ratio, precision)).cast("long")
+        if incoming_threshold_col is None:
+            threshold = const_thr
+        else:
+            prob_in = (
+                (F.lit(_MAX_ADJ).cast("long") - t_in)
+                / F.lit(float(_MAX_ADJ))
+                * F.lit(ratio)
+            )
+            threshold = F.when(t_in.isNull(), const_thr).otherwise(
+                otep235_threshold_col(prob_in, precision)
+            )
 
     if priority_col is not None:
         # logs: the priority attribute is a REQUEST to be sampled with at

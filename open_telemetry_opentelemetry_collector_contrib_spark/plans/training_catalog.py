@@ -457,6 +457,11 @@ _CUR_JACCARD = 0.8
 
 def q_curation_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
+    # a single-file source under-parallelizes the regex-heavy scoring and
+    # the minhash UDF (everything downstream of the scan runs in one task);
+    # spread it across the cluster once up front
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     scored = text_fns.quality_signals(docs).withColumn(
         "lang_pred", text_fns.lang_id(F.col("text"))
     )
@@ -466,7 +471,10 @@ def q_curation_pipeline(spark, sf_dir):
     keepers = dedupe.exact_dedup(kept).select(
         F.col("keeper_id").alias("doc_id")
     )
-    kept = kept.join(keepers, "doc_id", "left_semi")
+    # kept feeds exact-dedup, LSH candidates, shingle freq, candidate sets
+    # and the final anti-join — persist or the quality/lang scoring (4x
+    # stopword regex scans) recomputes per consumer
+    kept = kept.join(keepers, "doc_id", "left_semi").persist()
     # scale path: MinHash-LSH candidates -> exact Jaccard verify on the
     # candidates only (no full shingle self-join on the kept set); the
     # DuckDB oracle below remains the exact all-pairs program

@@ -162,3 +162,31 @@ def test_otlpjson_signal_routing(spark):
     assert r.rid == 1 and r.body == "hi" and r.severity_number == 5
     assert r.attributes["n"] == "42"  # intValue surfaces via AnyValue coalesce
     assert r.scope_name == "s"
+
+
+def test_container_cri_parse_and_partial_recombine(spark):
+    """crio/containerd CRI format + P/F partial-line recombine
+    (pkg/stanza/operator/parser/container/parser.go:25-42,61)."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators import parse as p
+
+    path = "/var/log/pods/ns1_pod-a_0000aaaa-1111-2222-3333-444444444444/app/3.log"
+    rows = [
+        (path, 1, "2024-01-01T00:00:00.000000000Z stdout P part1-"),
+        (path, 2, "2024-01-01T00:00:00.100000000Z stdout P part2-"),
+        (path, 3, "2024-01-01T00:00:00.200000000Z stdout F end"),
+        (path, 4, "2024-01-01T00:00:01.000000000Z stderr F whole"),
+    ]
+    df = spark.createDataFrame(rows, ["path", "line_no", "text"])
+    parsed = p.parse_container_cri(df, path_col="path")
+    r1 = parsed.orderBy("line_no").collect()[0]
+    assert r1.container_stream == "stdout" and r1.container_logtag == "P"
+    assert r1.container_log == "part1-"
+    assert r1.k8s_namespace == "ns1" and r1.k8s_pod_name == "pod-a"
+    assert r1.k8s_container_name == "app" and r1.k8s_restart_count == 3
+    assert r1.container_time is not None
+
+    rec = p.recombine_cri_partials(
+        parsed, ["path", "container_stream"], "line_no"
+    ).orderBy("line_no")
+    logs = [r.container_log for r in rec.collect()]
+    assert logs == ["part1-part2-end", "whole"]
