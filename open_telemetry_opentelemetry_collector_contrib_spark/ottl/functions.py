@@ -612,7 +612,47 @@ def call_editor(df: DataFrame, call: FuncCall, ctx: LogContext, cond: Column | N
         if name == "replace_pattern":
             pat = _to_java_regex(_lit_of(args[1], "pattern"))
             repl = _lit_of(args[2], "replacement")
-            new = F.regexp_replace(old, pat, repl)
+            fn_name = None
+            fmt = None
+            if len(args) > 3 and isinstance(args[3], Literal):
+                fn_name = args[3].value
+            if len(args) > 4:
+                fmt = _lit_of(args[4], "replacementFormat")
+            named_map = dict(call.named)
+            if isinstance(named_map.get("function"), Literal):
+                fn_name = named_map["function"].value
+            if isinstance(named_map.get("replacementFormat"), Literal):
+                fmt = named_map["replacementFormat"].value
+            if fn_name is not None:
+                # optional hash converter applied to the replacement value
+                # per match (func_replace_pattern.go:66-98). With a
+                # capture-free replacement the hash is the same for every
+                # match, so it folds to a constant regexp_replace; capture
+                # refs would need per-match eval (unsupported, like the
+                # reference's own restriction to string-returning editors).
+                if "$" in repl:
+                    raise OTTLCompileError(
+                        "replace_pattern: function with capture refs unsupported"
+                    )
+                hash_fns = {
+                    "MD5": lambda c: F.md5(c),
+                    "SHA1": lambda c: F.sha1(c),
+                    "SHA256": lambda c: F.sha2(c, 256),
+                    "SHA512": lambda c: F.sha2(c, 512),
+                    "FNV": lambda c: F.xxhash64(c).cast("string"),
+                }
+                if fn_name not in hash_fns:
+                    raise OTTLCompileError(f"replace_pattern: unknown function {fn_name}")
+                repl_col = hash_fns[fn_name](F.lit(repl))
+                if fmt is not None:
+                    if fmt.count("%s") != 1 or re.search(r"%[^s]", fmt):
+                        raise OTTLCompileError(
+                            "replacementFormat must contain a single %s"
+                        )
+                    repl_col = F.format_string(fmt, repl_col)
+                new = F.regexp_replace(old, F.lit(pat), repl_col)
+            else:
+                new = F.regexp_replace(old, pat, repl)
         else:
             glob = _lit_of(args[1], "glob")
             repl = _lit_of(args[2], "replacement")

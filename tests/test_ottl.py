@@ -505,3 +505,18 @@ def test_md5_matches_reference_known_value(spark):
     import hashlib
 
     assert out == hashlib.md5(b"pass").hexdigest()
+
+
+def test_replace_pattern_with_hash_function(spark):
+    """pkg/ottl/e2e/e2e_test.go:223-233: optional hash converter + format."""
+    df = spark.createDataFrame([("/health",)], ["path"])
+    out = apply_statement(df, 'replace_pattern(path, "/", "@")')
+    assert out.collect()[0].path == "@health"
+    out = apply_statement(df, 'replace_pattern(path, "/", "@", SHA256)')
+    assert out.collect()[0].path == (
+        "c3641f8544d7c02f3580b07c0f9887f0c6a27ff5ab1d4a3e29caf197cfc299ae" "health"
+    )
+    out = apply_statement(
+        df, 'replace_pattern(path, "/", "@", SHA256, "hash=%s")'
+    )
+    assert out.collect()[0].path.startswith("hash=c3641f85")
