@@ -148,9 +148,9 @@ def run_scaling(sf_dir: str, rep: int) -> dict:
     external-tenant load spike degrades both levels instead of silently
     corrupting one block (a low-then-high schedule read 0.57 efficiency
     under a spike that a clean host measures at ~0.85)."""
-    best: dict[int, float] = {}
-    load: dict[int, float] = {}
+    rounds: list[dict] = []
     for _ in range(SCALE_ROUNDS):
+        rnd = {}
         for cores in (SCALE_LOW, SCALE_HIGH):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)],
@@ -161,13 +161,20 @@ def run_scaling(sf_dir: str, rep: int) -> dict:
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             rec = json.loads(line)
-            if cores not in best or rec["sec"] < best[cores]:
-                best[cores] = rec["sec"]
-                load[cores] = rec.get("load1")
-    out = {}
-    for cores in (SCALE_LOW, SCALE_HIGH):
-        out[cores] = best[cores]
-        out[f"load1_{cores}"] = load[cores]
+            rnd[cores] = rec["sec"]
+            rnd[f"load1_{cores}"] = rec.get("load1")
+        rnd["eff"] = (rnd[SCALE_LOW] / rnd[SCALE_HIGH]) / (SCALE_HIGH / SCALE_LOW)
+        rounds.append(rnd)
+    # efficiency from the best ROUND: within a round the two levels run
+    # back-to-back and see correlated external load, so the per-round ratio
+    # measures machine capability; mixing the global-min low with a loaded
+    # high understates it (and vice versa)
+    best = max(rounds, key=lambda r: r["eff"])
+    out = dict(best)
+    out["rounds"] = [
+        {"low": r[SCALE_LOW], "high": r[SCALE_HIGH], "eff": round(r["eff"], 3)}
+        for r in rounds
+    ]
     return out
 
 
@@ -225,6 +232,7 @@ def main() -> None:
                     "sec_high": times[SCALE_HIGH],
                     "tps_high": round(tps_high, 1),
                     "efficiency": round(efficiency, 3),
+                    "rounds": times.get("rounds"),
                     "ext_load1": {
                         "low": times.get(f"load1_{SCALE_LOW}"),
                         "high": times.get(f"load1_{SCALE_HIGH}"),

@@ -67,22 +67,74 @@ SYSLOG_RFC3164_RE = (
     r"^<(\d{1,3})>([A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2}) (\S+) ([^\s:\[]+)(?:\[(\d+)\])?: (.*)$"
 )
 
-SEVERITY_ALIASES = {
-    # stanza severity alias table (`pkg/stanza/operator/helper/severity_builder.go:39-55`)
-    "trace": 1, "debug": 5, "info": 9, "notice": 10, "warn": 13, "warning": 13,
-    "error": 17, "err": 17, "alert": 18, "crit": 21, "critical": 21,
-    "fatal": 21, "emerg": 24, "emergency": 24,
-}
+def _builtin_severity_mapping(preset: str = "default") -> dict[str, int]:
+    """stanza severity alias tables (`severity_builder.go:17-85`):
+    'otel'/'aliases' = trace..fatal4 + numeric strings 1-24; 'default' adds
+    warning/err level aliases; 'none' is empty."""
+    if preset == "none":
+        return {}
+    base = {"trace": 1, "debug": 5, "info": 9, "warn": 13, "error": 17, "fatal": 21}
+    m: dict[str, int] = {}
+    for name, lv in base.items():
+        m[name] = lv
+        m[str(lv)] = lv
+        for j in (2, 3, 4):
+            m[f"{name}{j}"] = lv + j - 1
+            m[str(lv + j - 1)] = lv + j - 1
+    if preset in ("otel", "aliases"):
+        return m
+    for j in ("", "2", "3", "4"):  # default preset extras (:74-83)
+        m[f"warning{j}"] = m[f"warn{j or ''}" if j else "warn"]
+        m[f"err{j}"] = m[f"error{j or ''}" if j else "error"]
+    return m
 
 
-def severity_number(text_col: Column) -> Column:
-    """stanza severity parser: alias text -> numeric severity (0 unknown)."""
-    low = F.lower(text_col)
-    expr = F.lit(0)
-    branches = [
-        F.when(low == alias, F.lit(num)) for alias, num in SEVERITY_ALIASES.items()
-    ]
-    return F.coalesce(*branches, F.lit(0))
+_HTTP_RANGES = {"2xx": (200, 299), "3xx": (300, 399), "4xx": (400, 499), "5xx": (500, 599)}
+
+
+def severity_mapping(
+    preset: str = "default", custom: dict | None = None
+) -> dict[str, int]:
+    """Builtin preset + custom mapping entries. Custom values may be a
+    string/int, a list of them, a {'min': a, 'max': b} range, or the HTTP
+    range specials '2xx'..'5xx' (`severity_builder.go:94-104,166-199`)."""
+    m = _builtin_severity_mapping(preset)
+    aliases = _builtin_severity_mapping("default")
+    for sev_name, values in (custom or {}).items():
+        sev = aliases.get(str(sev_name).lower())
+        if sev is None:
+            raise ValueError(f"unknown severity {sev_name!r}")
+        vals = values if isinstance(values, list) else [values]
+        for v in vals:
+            if isinstance(v, dict) and "min" in v and "max" in v:
+                for i in range(int(v["min"]), int(v["max"]) + 1):
+                    m[str(i)] = sev
+            elif isinstance(v, str) and v.lower() in _HTTP_RANGES:
+                lo, hi = _HTTP_RANGES[v.lower()]
+                for i in range(lo, hi + 1):
+                    m[str(i)] = sev
+            else:
+                m[str(v).lower()] = sev
+    return m
+
+
+# back-compat name: the default alias table
+SEVERITY_ALIASES = _builtin_severity_mapping("default")
+
+
+def severity_number(text_col: Column, mapping: dict[str, int] | None = None) -> Column:
+    """stanza severity parser: alias/number text -> numeric severity
+    (0 = unknown). One map literal + lookup, codegen-friendly even for
+    range-expanded mappings with hundreds of keys."""
+    m = mapping if mapping is not None else SEVERITY_ALIASES
+    pairs: list[Column] = []
+    for k, v in m.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    if not pairs:
+        return F.lit(0)
+    lookup = F.element_at(F.create_map(*pairs), F.lower(text_col.cast("string")))
+    return F.coalesce(lookup, F.lit(0))
 
 
 def parse_syslog_rfc3164(df: DataFrame, text_col: str = "text", year: int = 2024) -> DataFrame:

@@ -190,3 +190,25 @@ def test_container_cri_parse_and_partial_recombine(spark):
     ).orderBy("line_no")
     logs = [r.container_log for r in rec.collect()]
     assert logs == ["part1-part2-end", "whole"]
+
+
+def test_severity_presets_and_custom_ranges(spark):
+    """severity_builder.go presets, numeric aliases, HTTP ranges, min/max."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators.parse import (
+        severity_mapping,
+        severity_number,
+    )
+
+    m = severity_mapping(custom={"error": "4xx", "fatal": [{"min": 500, "max": 501}]})
+    df = spark.createDataFrame(
+        [("info",), ("WARNING3",), ("err",), ("12",), ("404",), ("500",), ("nope",)],
+        ["lvl"],
+    )
+    out = df.select("lvl", severity_number(F.col("lvl"), m).alias("n")).collect()
+    got = {r.lvl: r.n for r in out}
+    assert got == {
+        "info": 9, "WARNING3": 15, "err": 17, "12": 12,
+        "404": 17, "500": 21, "nope": 0,
+    }
+    assert severity_mapping("none") == {}
+    assert "err" not in severity_mapping("otel")  # aliases preset has no extras
