@@ -110,6 +110,76 @@ def _lookup(spark, df, cfg):
     return enrich_ops.lookup_enrich(df, dim, on=cfg["on"], how=cfg.get("how", "left"))
 
 
+@stage("sample_otep235")
+def _sample_otep(spark, df, cfg):
+    return sample_ops.otep235_sample(
+        df,
+        cfg["percentage"],
+        cfg.get("mode", "proportional"),
+        trace_id_col=cfg.get("trace_id_col", "trace_id"),
+        incoming_threshold_col=cfg.get("incoming_threshold_col"),
+        priority_col=cfg.get("sampling_priority"),
+        precision=cfg.get("sampling_precision", 4),
+    )
+
+
+@stage("tail_sampling")
+def _tail_sampling(spark, df, cfg):
+    from ..operators.traces import TailPolicy, tail_sample_policies
+
+    def mk(p: dict) -> TailPolicy:
+        sub = [mk(sp) for sp in p.get("sub_policies", [])]
+        return TailPolicy(**{**p, "sub_policies": sub})
+
+    return tail_sample_policies(df, [mk(p) for p in cfg["policies"]])
+
+
+@stage("otlpjson")
+def _otlpjson(spark, df, cfg):
+    from ..operators.otlpjson import explode_otlp_logs
+
+    return explode_otlp_logs(
+        df, body_col=cfg.get("body_col", "body"), keep_cols=cfg.get("keep_cols")
+    )
+
+
+@stage("syslog")
+def _syslog(spark, df, cfg):
+    from ..operators import parse as parse_ops
+
+    proto = cfg.get("protocol", "rfc3164")
+    if proto == "rfc5424":
+        return parse_ops.parse_syslog_rfc5424(df, cfg.get("text_col", "text"))
+    return parse_ops.parse_syslog_rfc3164(df, cfg.get("text_col", "text"))
+
+
+@stage("severity")
+def _severity(spark, df, cfg):
+    from pyspark.sql import functions as F
+
+    from ..operators import parse as parse_ops
+
+    mapping = parse_ops.severity_mapping(
+        cfg.get("preset", "default"), cfg.get("mapping")
+    )
+    return df.withColumn(
+        cfg.get("out_col", "severity_number"),
+        parse_ops.severity_number(F.col(cfg["parse_from"]), mapping),
+    )
+
+
+@stage("trace_parser")
+def _trace_parser(spark, df, cfg):
+    from ..operators import parse as parse_ops
+
+    return parse_ops.parse_trace(
+        df,
+        cfg.get("trace_id_col", "trace_id"),
+        cfg.get("span_id_col", "span_id"),
+        cfg.get("flags_col", "trace_flags"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # validate + build
 # ---------------------------------------------------------------------------
@@ -129,8 +199,15 @@ def validate(spec: dict) -> None:
                 parse_statement(s)
         route = spec.get("route")
         if route:
+            from ..operators.route import parse_request_condition
+
             for entry in route["table"]:
-                parse_condition(entry["condition"])
+                if entry.get("context") == "request":
+                    parse_request_condition(entry["condition"])
+                else:
+                    parse_condition(entry["condition"])
+                if entry.get("statement"):
+                    parse_statement(entry["statement"])
         agg = spec.get("aggregate")
         if agg and agg.get("type") not in (None, "count", "sum"):
             raise ConfigError(f"unknown aggregate type {agg.get('type')!r}")
@@ -152,11 +229,18 @@ def build(spark: SparkSession, spec: dict, source: DataFrame) -> DataFrame:
         from ..ottl import LogContext
         from ..ottl.compiler import compile_condition
 
+        from ..operators.route import request_condition
+
         ctx = LogContext(df)
-        table = [
-            Route(e["name"], compile_condition(e["condition"], ctx))
-            for e in route["table"]
-        ]
+        table = []
+        for e in route["table"]:
+            if e.get("context") == "request":
+                cond = request_condition(
+                    e["condition"], route.get("request_metadata")
+                )
+            else:
+                cond = compile_condition(e["condition"], ctx)
+            table.append(Route(e["name"], cond, mutation=e.get("statement")))
         if route.get("match_once", True):
             df = with_route_first_match(df, table)
         else:

@@ -101,3 +101,66 @@ def test_match_all_route_duplicates(spark):
     n_in = src.count()
     n_out = out.count()
     assert n_out > n_in  # duplication happened
+
+
+def test_config_new_stage_types(spark):
+    """Round-2 stage registry additions: syslog(rfc5424), severity,
+    otep235 sampler, tail_sampling, request-context routing."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.plans import config as cfg
+
+    line = '<165>1 2024-01-01T00:00:00Z host app 7 ID1 [x@1 k="v"] hello'
+    df = spark.createDataFrame(
+        [(line, "0102030405060708090a0b0c0d0e0f10")], ["text", "trace_id"]
+    )
+    spec = {
+        "processors": [
+            {"type": "syslog", "protocol": "rfc5424"},
+            {"type": "severity", "parse_from": "syslog_msgid", "preset": "none",
+             "mapping": {"info": ["id1"]}},
+        ],
+        "route": {
+            "table": [
+                {"name": "tenant", "context": "request",
+                 "condition": 'request["X-Tenant"] == "acme"'},
+                {"name": "errors", "condition": "syslog_severity >= 4"},
+            ],
+            "request_metadata": {"x-tenant": "acme"},
+            "match_once": True,
+        },
+    }
+    cfg.validate(spec)
+    out = cfg.build(spark, spec, df)
+    r = out.collect()[0]
+    assert r.route == "tenant"  # request route claims the batch
+    assert r.severity_number == 9 and r.syslog_host == "host"
+
+    # bad request grammar fails at validate time
+    import pytest as _pytest
+
+    bad = {"processors": [], "route": {"table": [
+        {"name": "x", "context": "request", "condition": "request[k] = v"}]}}
+    with _pytest.raises(cfg.ConfigError):
+        cfg.validate(bad)
+
+    # otep sampler + tail sampling stages compile and run
+    t1 = "0102030405060708090a0b0c0d0e0f10"
+    t2 = "f10203040506070809112233445566ab"
+    spans = spark.createDataFrame(
+        [(t1, "s1", "err", 100, "2024-01-01 00:00:00"),
+         (t2, "s2", "ok", 9000, "2024-01-01 00:00:01")],
+        ["trace_id", "span_id", "status", "duration_ms", "ts_s"],
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).withColumn(
+        "duration_ms", F.col("duration_ms").cast("long")
+    )
+    spec2 = {
+        "processors": [
+            {"type": "tail_sampling", "policies": [
+                {"type": "status_code", "status_codes": ["err"]},
+                {"type": "latency", "threshold_ms": 5000},
+            ]},
+            {"type": "sample_otep235", "percentage": 100.0, "mode": "equalizing"},
+        ]
+    }
+    cfg.validate(spec2)
+    out2 = cfg.build(spark, spec2, spans)
+    assert {r.trace_id for r in out2.collect()} == {t1, t2}
