@@ -375,3 +375,24 @@ def parse_scope(
     """stanza scope_name parser (`pkg/stanza/operator/helper/scope_name.go`):
     copy the logger-name field into the instrumentation scope."""
     return df.withColumn(out_col, F.col(parse_from).cast("string"))
+
+
+def parse_json_array(
+    df: DataFrame,
+    text_col: str = "text",
+    header: str | None = None,
+    out_col: str = "parsed",
+) -> DataFrame:
+    """stanza jsonarray parser (`pkg/stanza/operator/parser/jsonarray/
+    parser.go:24-70`): a JSON array body becomes an array of string-rendered
+    scalars, or — with a comma-delimited ``header`` — a map keyed by the
+    header fields (nested objects stay JSON strings, like the reference)."""
+    arr = F.from_json(F.col(text_col), "array<string>")
+    if header is None:
+        return df.withColumn(out_col, arr)
+    fields = header.split(",")
+    pairs = [
+        F.struct(F.lit(f).alias("key"), F.get(arr, i).alias("value"))
+        for i, f in enumerate(fields)
+    ]
+    return df.withColumn(out_col, F.map_from_entries(F.array(*pairs)))

@@ -115,3 +115,36 @@ def test_signal_to_metrics_single_scan(spark, tmp_path):
     assert rows[("all_count", ())] == 100.0
     assert rows[("by_type", (("event_type", "t0"),))] == 34.0
     assert abs(rows[("val_sum", (("event_type", "t1"),))] - sum(i for i in range(100) if i % 3 == 1)) < 1e-9
+
+
+def test_otlpjson_explode_single_scan_no_shuffle(spark, tmp_path):
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators.otlpjson import (
+        explode_otlp_logs,
+    )
+
+    path = str(tmp_path / "bodies")
+    body = (
+        '{"resourceLogs":[{"resource":{},"scopeLogs":[{"scope":{"name":"s"},'
+        '"logRecords":[{"severityNumber":5,"body":{"stringValue":"hi"}}]}]}]}'
+    )
+    spark.createDataFrame([(i, body) for i in range(100)], ["rid", "body"]).write.parquet(path)
+    plan = explain(explode_otlp_logs(spark.read.parquet(path), keep_cols=["rid"]))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Exchange" not in tree  # pure project + generate, no shuffle
+    assert "Generate" in tree
+
+
+def test_otep235_sampler_no_shuffle(spark, tmp_path):
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators import sample as s
+
+    path = str(tmp_path / "ev2")
+    spark.createDataFrame(
+        [(i, f"{i:032x}") for i in range(100)], ["event_id", "trace_id"]
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = s.otep235_sample(df, 25.0, "equalizing", trace_id_col="trace_id")
+    plan = explain(out)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Exchange" not in tree  # stateless filter: embarrassingly parallel

@@ -212,3 +212,17 @@ def test_severity_presets_and_custom_ranges(spark):
     }
     assert severity_mapping("none") == {}
     assert "err" not in severity_mapping("otel")  # aliases preset has no extras
+
+
+def test_jsonarray_parser(spark):
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators import parse as p
+
+    df = spark.createDataFrame(
+        [('["1","debug",true,{"a":1}]',), ("not json",)], ["text"]
+    )
+    out = p.parse_json_array(df).collect()
+    assert out[0].parsed == ["1", "debug", "true", '{"a":1}']
+    assert out[1].parsed is None
+    out2 = p.parse_json_array(df, header="id,level,ok,extra").collect()[0]
+    assert out2.parsed["id"] == "1" and out2.parsed["level"] == "debug"
+    assert out2.parsed["ok"] == "true"
