@@ -84,3 +84,59 @@ def test_streaming_dedup_bounded_output(spark, transcripts_dir):
         "from stream_dedup group by all having count(*) > 1"
     ).collect()
     assert rows == []  # every surviving key combination is unique
+
+
+def test_streaming_round2_stateless_operators_parity(spark, tmp_path):
+    """Round-2 stateless operators lift onto readStream unchanged:
+    OTLP-JSON explode, OTEP-235 sampler, RFC5424 parse produce identical
+    results in streaming and batch over the same files."""
+    from pyspark.sql import types as T
+
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators import (
+        parse as parse_ops,
+        sample as sample_ops,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators.otlpjson import (
+        explode_otlp_logs,
+    )
+
+    src = str(tmp_path / "otlp_src")
+    body_tpl = (
+        '{{"resourceLogs":[{{"resource":{{}},"scopeLogs":[{{"scope":{{"name":"s"}},'
+        '"logRecords":[{{"severityNumber":{sev},"body":{{"stringValue":"m{i}"}}}}]}}]}}]}}'
+    )
+    import hashlib
+
+    rows = [
+        (i, hashlib.md5(str(i).encode()).hexdigest(),  # spread randomness bits
+         body_tpl.format(sev=(i % 24) + 1, i=i),
+         f"<{i % 192}>1 2024-01-01T00:00:{i % 60:02d}Z h a {i} ID{i % 9} - msg{i}")
+        for i in range(512)
+    ]
+    schema = T.StructType([
+        T.StructField("rid", T.LongType()),
+        T.StructField("trace_id", T.StringType()),
+        T.StructField("body", T.StringType()),
+        T.StructField("syslog_line", T.StringType()),
+    ])
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(src)
+
+    def program(df):
+        df = sample_ops.otep235_sample(df, 50.0, "equalizing", trace_id_col="trace_id")
+        df = parse_ops.parse_syslog_rfc5424(df, "syslog_line")
+        out = explode_otlp_logs(df, keep_cols=["rid", "syslog_pid", "syslog_severity"])
+        return out.select("rid", "syslog_pid", "syslog_severity", "severity_number", "body")
+
+    batch = {tuple(r) for r in program(spark.read.parquet(src)).collect()}
+
+    q = (
+        program(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("memory")
+        .queryName("r2_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql("select * from r2_stream").collect()}
+    assert got == batch and len(got) > 100
