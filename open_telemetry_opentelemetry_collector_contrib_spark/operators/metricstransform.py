@@ -116,3 +116,49 @@ def group_by_attrs(df: DataFrame, keys: list[str], num_partitions: int | None = 
 def round_robin(df: DataFrame, num_partitions: int) -> DataFrame:
     """roundrobinconnector: even load spread, no key affinity."""
     return df.repartition(num_partitions)
+
+
+def add_label(df: DataFrame, label: str, value: str) -> DataFrame:
+    """add_label operation (`metricstransformprocessor/config.go:178`):
+    attach a new constant dimension to every data point."""
+    return df.withColumn(label, F.lit(value))
+
+
+def update_label_values(df: DataFrame, label: str, mapping: dict[str, str]) -> DataFrame:
+    """update_label value_actions: remap individual label values."""
+    col = F.col(label)
+    out = col
+    for old, new in mapping.items():
+        out = F.when(col == old, F.lit(new)).otherwise(out)
+    return df.withColumn(label, out)
+
+
+def delete_label_value(df: DataFrame, label: str, value: str) -> DataFrame:
+    """delete_label_value (`config.go:186`): drop data points carrying the
+    label value."""
+    return df.filter(~F.coalesce(F.col(label) == value, F.lit(False)))
+
+
+def toggle_scalar_data_type(df: DataFrame, value_col: str) -> DataFrame:
+    """toggle_scalar_data_type (`config.go:188-189`): int64 <-> double."""
+    from pyspark.sql import types as T
+
+    dt = dict(df.dtypes)[value_col]
+    target = "double" if dt in ("bigint", "int", "long") else "bigint"
+    return df.withColumn(value_col, F.col(value_col).cast(target))
+
+
+def combine_metrics(
+    dfs: dict[str, DataFrame], new_name: str, label_for_original: str = "metric"
+) -> DataFrame:
+    """combine action (`config.go:152-153`): merge matching metrics into one
+    series set, recording the original metric name as a new label. Spark:
+    unionByName with the source name stamped — no shuffle; downstream aggs
+    see one metric."""
+    out = None
+    for name, df in dfs.items():
+        cur = df.withColumn(label_for_original, F.lit(name)).withColumn(
+            "metric_name", F.lit(new_name)
+        )
+        out = cur if out is None else out.unionByName(cur, allowMissingColumns=True)
+    return out

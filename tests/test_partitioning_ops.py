@@ -48,3 +48,28 @@ def test_datagen_has_hot_conv_skew(spark):
     by_conv = t.groupBy("conv_id").count()
     hot = by_conv.filter(F.col("conv_id").endswith("-0")).agg(F.sum("count")).collect()[0][0]
     assert 0.25 <= hot / total <= 0.35
+
+
+def test_metricstransform_label_operations(spark):
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators import (
+        metricstransform as mt,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], ["env", "value"]
+    ).withColumn("value", F.col("value").cast("bigint"))
+    out = mt.add_label(df, "cluster", "prod")
+    assert {r.cluster for r in out.collect()} == {"prod"}
+    out = mt.update_label_values(df, "env", {"a": "alpha", "b": "beta"})
+    assert {r.env for r in out.collect()} == {"alpha", "beta", "c"}
+    out = mt.delete_label_value(df, "env", "b")
+    assert {r.env for r in out.collect()} == {"a", "c"}
+    out = mt.toggle_scalar_data_type(df, "value")
+    assert dict(out.dtypes)["value"] == "double"
+    assert dict(mt.toggle_scalar_data_type(out, "value").dtypes)["value"] == "bigint"
+    combined = mt.combine_metrics(
+        {"m1": df.limit(1), "m2": df.limit(2)}, "m_all"
+    )
+    rows = combined.collect()
+    assert len(rows) == 3 and {r.metric for r in rows} == {"m1", "m2"}
+    assert {r.metric_name for r in rows} == {"m_all"}
