@@ -115,3 +115,73 @@ def fingerprint_winnow(
 
         hashes = F.transform(char_shingles(text, n), lambda s: md5_48(s))
     return F.array_min(hashes)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + benchmark decontamination (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# conservative, engine-portable regex syntax (no lookaround): pattern order
+# matters — cards before phones so digit runs aren't half-eaten
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CARD>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\(\d{3}\) \d{3}-\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(text: Column) -> Column:
+    """Mask common PII shapes with typed placeholders — the document-text
+    analog of the redactionprocessor's blocked_values masking
+    (`processor/redactionprocessor/config.go:6-26`), as a chain of
+    vectorized regexp_replace calls (no UDF)."""
+    out = text
+    for _name, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """map<kind, count> of PII hits per document (audit/reporting side)."""
+    entries = [
+        F.struct(
+            F.lit(name).alias("key"),
+            F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long").alias("value"),
+        )
+        for name, pat, _ in PII_PATTERNS
+    ]
+    return F.map_from_entries(F.array(*entries))
+
+
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word n-gram with the
+    benchmark set, with the overlapping-gram count.
+
+    Scale: the benchmark side (eval sets) is tiny relative to the corpus —
+    its distinct grams BROADCAST, so the corpus-side explode+join is
+    map-side only (no shuffle of corpus grams); the per-doc count is the
+    usual partial-agg groupBy. This is the standard n-gram overlap
+    decontamination used on LLM training corpora.
+    """
+    from .dedupe import word_shingles
+
+    bench = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    grams = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        grams.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contaminated_grams"))
+    )

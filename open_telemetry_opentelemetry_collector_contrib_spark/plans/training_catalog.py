@@ -447,6 +447,94 @@ def q_frame_sample_plan(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing + decontamination
+# ---------------------------------------------------------------------------
+
+
+def q_pii_scrub_docs(spark, sf_dir):
+    """PII masking over text with deterministically planted identifiers
+    (synthetic docs carry none) — scrubbed text + per-kind hit counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com ip 10."), (F.col("doc_id") % 250).cast("string"),
+            F.lit(".0.1 ssn 123-45-67"), F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" card 4111 1111 1111 1111 tel (555) 123-4567"),
+        ),
+    )
+    return planted.select(
+        "doc_id",
+        text_fns.pii_scrub(F.col("text")).alias("scrubbed"),
+        F.to_json(text_fns.pii_counts(F.col("text"))).alias("pii_counts_json"),
+    )
+
+
+O_PII_SCRUB = r"""
+WITH planted AS (
+  SELECT doc_id,
+    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+      || '.com ip 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.1 ssn 123-45-67'
+      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+      || ' card 4111 1111 1111 1111 tel (555) 123-4567' AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b', '<CARD>', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      '\(\d{3}\) \d{3}-\d{4}', '<PHONE>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed,
+  '{"email":' || len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+    || ',"card":' || len(regexp_extract_all(text, '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b'))
+    || ',"ssn":' || len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+    || ',"phone":' || len(regexp_extract_all(text, '\(\d{3}\) \d{3}-\d{4}'))
+    || ',"ipv4":' || len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+    || '}' AS pii_counts_json
+FROM planted
+"""
+
+
+_DECON_N = 8
+
+
+def q_decontaminate_docs(spark, sf_dir):
+    """n-gram-overlap decontamination: every 97th doc acts as the benchmark
+    set; corpus docs sharing any 8-gram are flagged with hit counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return text_fns.contamination_hits(corpus, bench, n=_DECON_N)
+
+
+O_DECONTAMINATE = rf"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ws) - {_DECON_N - 1} >= 1
+      THEN [array_to_string(ws[i:i+{_DECON_N - 1}], ' ') for i in range(1, len(ws) - {_DECON_N - 2})]
+      ELSE [array_to_string(ws, ' ')] END) AS grams
+  FROM words
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 97 = 0
+), corpus AS (
+  SELECT doc_id, unnest(grams) AS gram FROM sh WHERE doc_id % 97 <> 0
+)
+SELECT doc_id, count(*) AS contaminated_grams
+FROM corpus JOIN bench USING (gram)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # composite curation pipeline: quality gate -> language filter -> exact
 # dedup -> near-dup removal (the end-to-end training-data story)
 # ---------------------------------------------------------------------------
@@ -571,6 +659,8 @@ TRAINING_QUERIES = {
     "multimodal_features": q_multimodal_features,
     "frame_sample_plan": q_frame_sample_plan,
     "curation_pipeline": q_curation_pipeline,
+    "pii_scrub_docs": q_pii_scrub_docs,
+    "decontaminate_docs": q_decontaminate_docs,
 }
 
 TRAINING_ORACLES = {
@@ -587,4 +677,6 @@ TRAINING_ORACLES = {
     "embedding_near_dup": _near_dup_oracle(),
     # multimodal: pandas-UDF stub features -> rows-only
     "curation_pipeline": _curation_oracle(),
+    "pii_scrub_docs": O_PII_SCRUB,
+    "decontaminate_docs": O_DECONTAMINATE,
 }
