@@ -505,18 +505,36 @@ FROM planted
 _DECON_N = 8
 
 
+_CANARY = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8"
+
+
 def q_decontaminate_docs(spark, sf_dir):
     """n-gram-overlap decontamination: every 97th doc acts as the benchmark
-    set; corpus docs sharing any 8-gram are flagged with hit counts."""
+    set; corpus docs sharing any 8-gram are flagged with hit counts. The
+    synthetic word-salad corpus shares no natural 8-grams, so a canary
+    phrase is planted into the benchmark docs AND every 13th corpus doc —
+    the flagged set is deterministic and non-empty at every SF."""
     docs = load_table(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" " + _CANARY))
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 5, F.concat(F.col("text"), F.lit(" " + _CANARY))
+        ).otherwise(F.col("text")),
+    )
     return text_fns.contamination_hits(corpus, bench, n=_DECON_N)
 
 
 O_DECONTAMINATE = rf"""
-WITH words AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 97 = 0 OR (doc_id % 97 <> 0 AND doc_id % 13 = 5)
+         THEN text || ' {_CANARY}' ELSE text END AS text
+  FROM documents
+), words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM planted
 ), sh AS (
   SELECT doc_id,
     list_distinct(CASE WHEN len(ws) - {_DECON_N - 1} >= 1
