@@ -444,3 +444,54 @@ def jaccard_verified_pairs_lsh(
         .filter(jac >= threshold)
         .select("id_a", "id_b", "common", "jaccard_ppm")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive dedup clustering: connected components over a near-dup
+    pair graph by iterative min-label propagation.
+
+    Returns (node, component) for every node appearing in a pair; component
+    = the smallest doc id reachable (the canonical keeper).
+
+    Scale: each round is one shuffle (join + groupBy-min) over the EDGE set
+    — near-dup graphs are sparse (|edges| << |docs|), rounds ~= graph
+    diameter (dup chains are short in practice; max_iter bounds adversarial
+    chains). labels are localCheckpoint()ed per round so the plan/lineage
+    stays O(1) instead of growing per iteration; the driver-side loop only
+    reads a convergence COUNT, never data.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = edges.join(labels, edges["src"] == labels["v"]).select(
+            F.col("dst").alias("v"), F.col("label")
+        )
+        new_labels = (
+            neigh.unionByName(labels.select("v", "label"))
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("v").alias("node"), F.col("label").alias("component"))

@@ -221,6 +221,32 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Transitive near-dup clustering: connected components over the
+    MinHash-LSH pair graph (iterative min-label propagation; the DuckDB
+    oracle is a WITH RECURSIVE reachability closure)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedupe.minhash_lsh_pairs(docs, n=_JAC_N, portable=True)
+    return dedupe.connected_components(pairs)
+
+
+def _components_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(v, l) AS (
+  SELECT src AS v, src AS l FROM edges
+  UNION
+  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT v AS node, min(l) AS component FROM reach GROUP BY v
+"""
+
+
 _SIM_BITS = 48
 
 
@@ -679,6 +705,7 @@ TRAINING_QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "pii_scrub_docs": q_pii_scrub_docs,
     "decontaminate_docs": q_decontaminate_docs,
+    "dedup_components": q_dedup_components,
 }
 
 TRAINING_ORACLES = {
@@ -697,4 +724,5 @@ TRAINING_ORACLES = {
     "curation_pipeline": _curation_oracle(),
     "pii_scrub_docs": O_PII_SCRUB,
     "decontaminate_docs": O_DECONTAMINATE,
+    "dedup_components": _components_oracle(),
 }

@@ -144,3 +144,17 @@ def test_frame_sample_plan(spark):
     videos = media.filter(F.col("kind") == "video").collect()
     expected = sum(max(v.duration_ms // 500, 1) for v in videos)
     assert len(plan) == expected
+
+
+def test_connected_components_chain_and_islands(spark):
+    from open_telemetry_opentelemetry_collector_contrib_spark.functions.dedupe import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4, island pair 10-11, triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
