@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "sample_otep235_proportional",
     "tail_sampling_policies",
     "curation_pipeline",
+    "pii_scrub_docs",
+    "decontaminate_docs",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

@@ -148,3 +148,22 @@ def test_otep235_sampler_no_shuffle(spark, tmp_path):
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1
     assert "Exchange" not in tree  # stateless filter: embarrassingly parallel
+
+
+def test_decontamination_broadcasts_benchmark_side(spark, tmp_path):
+    """The benchmark gram set must broadcast — corpus grams never shuffle."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.functions.text import (
+        contamination_hits,
+    )
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "w%d x y z a b c d e f" % i) for i in range(200)], ["doc_id", "text"]
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    out = contamination_hits(
+        docs.filter(F.col("doc_id") % 7 != 0), docs.filter(F.col("doc_id") % 7 == 0)
+    )
+    tree = explain(out).split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
