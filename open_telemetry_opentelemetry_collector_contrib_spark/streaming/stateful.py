@@ -88,3 +88,98 @@ def _d2c_with_timeout(max_stale_ms: int):
         return iter(out)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# streaming tail sampling (decision-then-release with a decision cache)
+# ---------------------------------------------------------------------------
+
+TAIL_SPAN_SCHEMA = T.StructType(
+    [
+        T.StructField("trace_id", T.StringType()),
+        T.StructField("span_id", T.StringType()),
+        T.StructField("service", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+# decided flag + running per-trace stats + undecided span buffer (JSON rows)
+TAIL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("decided", T.BooleanType()),
+        T.StructField("span_count", T.LongType()),
+        T.StructField("max_dur", T.LongType()),
+        T.StructField("err_count", T.LongType()),
+        T.StructField("buffered", T.StringType()),
+    ]
+)
+
+
+def _tail_fn_factory(
+    latency_threshold_ms: int | None,
+    error_status: str,
+    min_spans: int | None,
+):
+    """Streaming tailsampling decision function.
+
+    Mirrors the reference's flow (`tailsamplingprocessor/processor.go`
+    samplingPolicyOnTick + decision cache): spans buffer per trace until a
+    policy fires; once Sampled, the decision is CACHED — later spans of the
+    trace release immediately. Undecided traces never emit (= NotSampled at
+    stream end). Only monotone policies are offered here (latency over
+    threshold, error status, min span count): a decision that is true on a
+    prefix stays true on the full trace, so early release is exactly the
+    batch semantics.
+    """
+    import json as _json
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            decided, cnt, mx, err, buffered = state.get
+        else:
+            decided, cnt, mx, err, buffered = False, 0, 0, 0, "[]"
+        buf = _json.loads(buffered)
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            durs = pdf["duration_ms"].dropna()
+            if len(durs):
+                mx = max(mx, int(durs.max()))
+            err += int((pdf["status"] == error_status).sum())
+            rows = pdf.assign(ts=pdf["ts"].astype("int64"))  # ns since epoch
+            if decided:
+                yield pdf
+            else:
+                buf.extend(rows.to_dict("records"))
+        if not decided:
+            hit = (err > 0) or (
+                latency_threshold_ms is not None and mx > latency_threshold_ms
+            ) or (min_spans is not None and cnt >= min_spans)
+            if hit:
+                decided = True
+                if buf:
+                    out = pd.DataFrame(buf)
+                    out["ts"] = pd.to_datetime(out["ts"])
+                    yield out
+                buf = []
+        state.update((decided, cnt, mx, err, _json.dumps(buf)))
+
+    return fn
+
+
+def tail_sample_stream(
+    spans: DataFrame,
+    latency_threshold_ms: int | None = None,
+    error_status: str = "err",
+    min_spans: int | None = None,
+) -> DataFrame:
+    """Streaming tail sampler over a span stream keyed by trace_id."""
+    fn = _tail_fn_factory(latency_threshold_ms, error_status, min_spans)
+    return spans.groupBy("trace_id").applyInPandasWithState(
+        fn,
+        outputStructType=TAIL_SPAN_SCHEMA,
+        stateStructType=TAIL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,  # availableNow-drain safe
+    )

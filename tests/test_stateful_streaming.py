@@ -73,3 +73,64 @@ def test_stateful_d2c_matches_batch(spark, events_vi_dir):
     # order within a stream; with user_id-partitioned files each stream's
     # rows arrive in one batch, so results must match exactly
     assert got == exp
+
+
+def test_streaming_tail_sampling_matches_batch(spark, tmp_path):
+    """Streaming decision-cache tail sampler == batch decision-then-release
+    for monotone policies, even with traces split across micro-batches."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators.traces import (
+        TailPolicy,
+        tail_sample_policies,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_spark.streaming.stateful import (
+        TAIL_SPAN_SCHEMA,
+        tail_sample_stream,
+    )
+    from datetime import datetime, timedelta
+
+    rows = []
+    base = datetime(2024, 1, 1)
+    for t in range(60):
+        n = (t % 7) + 1
+        for i in range(n):
+            rows.append((
+                f"tr{t:03d}", f"tr{t:03d}#{i}", f"svc{t % 3}",
+                "err" if (t % 11 == 3 and i == n - 1) else "ok",
+                5000 + t if t % 13 == 5 else 10 + i,
+                base + timedelta(seconds=t, milliseconds=i),
+            ))
+    src = str(tmp_path / "spans_src")
+    # 6 files -> spans of one trace may land in different micro-batches
+    spark.createDataFrame(rows, TAIL_SPAN_SCHEMA).repartition(6).write.parquet(src)
+
+    batch_kept = {
+        (r.trace_id, r.span_id)
+        for r in tail_sample_policies(
+            spark.read.parquet(src),
+            [
+                TailPolicy("status_code", status_codes=["err"]),
+                TailPolicy("latency", threshold_ms=4000),
+                TailPolicy("span_count", min_spans=6),
+            ],
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(TAIL_SPAN_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = tail_sample_stream(
+        stream, latency_threshold_ms=4000, min_spans=6
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tail_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.trace_id, r.span_id)
+        for r in spark.sql("select * from tail_stream").collect()
+    }
+    assert got == batch_kept and len(got) > 50
