@@ -142,3 +142,32 @@ def test_sampling_priority_override(spark):
             assert r.rid not in kept
         else:
             assert (r.rid in kept) == (r.rnd >= thr)
+
+
+def test_threshold_random_probability_sweep(spark):
+    """500 seeded random probabilities across the full magnitude range must
+    match the Go-faithful Python twin bit-for-bit (stronger than the fixed
+    grid: catches rounding/precision-boost edges)."""
+    import random
+
+    rng = random.Random(20240816)
+    probs = []
+    for _ in range(250):
+        probs.append(rng.uniform(1e-3, 1.0))
+    for _ in range(250):
+        probs.append(2.0 ** -rng.uniform(0.0, 55.9))
+    rows = [(i, p) for i, p in enumerate(probs)]
+    df = spark.createDataFrame(rows, ["i", "prob"])
+    for precision in (3, 4):
+        got = {
+            r.i: r.t
+            for r in df.select(
+                "i", sample.otep235_threshold_col(F.col("prob"), precision).alias("t")
+            ).collect()
+        }
+        bad = [
+            (p, got[i], sample.prob_to_threshold_py(p, precision))
+            for i, p in rows
+            if got[i] != sample.prob_to_threshold_py(p, precision)
+        ]
+        assert not bad, bad[:3]
