@@ -385,6 +385,48 @@ FROM events
 """
 
 
+def q_schema_translate(spark, sf_dir):
+    """schemaprocessor semconv rename (operators/stanza.py schema_rename):
+    attribute names translate across schema versions; values untouched."""
+    from ..operators import stanza as stanza_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    out = stanza_ops.schema_rename(
+        ev, {"event_type": "event.name", "user_id": "enduser.id"}
+    )
+    return out.select(
+        "event_id",
+        F.col("`event.name`").alias("event.name"),
+        F.col("`enduser.id`").alias("enduser.id"),
+    )
+
+
+O_SCHEMA_TRANSLATE = """
+SELECT event_id, event_type AS "event.name", user_id AS "enduser.id" FROM events
+"""
+
+
+def _resource_detect_oracle() -> str:
+    import platform
+    import socket
+
+    return (
+        f"SELECT event_id, '{socket.gethostname()}' AS host_name, "
+        f"'{platform.system().lower()}' AS os_type FROM events"
+    )
+
+
+def q_resource_detect(spark, sf_dir):
+    """resourcedetection: plan-time constant resource attributes (system
+    detector); the oracle inlines the same host facts, which is exactly the
+    'resolved once at startup' semantic."""
+    from ..operators import stanza as stanza_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    out = stanza_ops.detect_resource(ev, detectors=["system"])
+    return out.select("event_id", "host_name", "os_type")
+
+
 def q_severity_map(spark, sf_dir):
     df = pipeline.parsed(spark, sf_dir)
     return df.select(
@@ -664,6 +706,8 @@ CATALOG2_QUERIES = {
     "aggregate_label_values": q_aggregate_label_values,
     "syslog_parse": q_syslog_parse,
     "syslog_rfc5424_parse": q_syslog_rfc5424_parse,
+    "schema_translate": q_schema_translate,
+    "resource_detect": q_resource_detect,
     "severity_map": q_severity_map,
     "container_parse": q_container_parse,
     "uri_parse": q_uri_parse,
@@ -686,6 +730,8 @@ CATALOG2_ORACLES = {
     "aggregate_label_values": O_AGGREGATE_LABEL_VALUES,
     "syslog_parse": _syslog_oracle(),
     "syslog_rfc5424_parse": _syslog5424_oracle(),
+    "schema_translate": O_SCHEMA_TRANSLATE,
+    "resource_detect": _resource_detect_oracle(),
     "severity_map": O_SEVERITY_MAP,
     "container_parse": O_CONTAINER_PARSE,
     "uri_parse": O_URI_PARSE,
