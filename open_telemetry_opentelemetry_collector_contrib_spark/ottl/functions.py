@@ -258,6 +258,18 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
         if len(args) > 2 and isinstance(args[2], Literal):
             only_named = bool(args[2].value)
         regex, alias_names = grok_expand(pattern, named_captures_only=only_named)
+        if len(alias_names) >= 4:
+            # composite patterns: k regexp_extract calls re-match the big
+            # expanded regex k times per row; one Arrow-batched match wins
+            from ..functions.grok import grok_extract_map_udf
+
+            return TypedCol(
+                grok_extract_map_udf(
+                    val(0).col.cast("string"), pattern,
+                    named_captures_only=only_named,
+                ),
+                "map",
+            )
         cols = extract_patterns_cols(val(0).col.cast("string"), regex)
         entries = [
             # restore original (possibly dotted ECS) alias names
