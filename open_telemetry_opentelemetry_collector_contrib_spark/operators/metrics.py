@@ -136,9 +136,21 @@ def span_metrics(
     window_s: int = 3600,
     ts_col: str = "ts",
     buckets: list[float] | None = None,
+    exemplars: int | None = None,
+    exemplar_id_col: str = "span_id",
 ) -> DataFrame:
     """Per (window, dims): call count, duration sum/min/max, explicit-bucket
-    histogram as an array of counters (delta temporality)."""
+    histogram as an array of counters (delta temporality).
+
+    ``exemplars=K`` attaches the K slowest spans per series as
+    (value, id) structs — the spanmetrics exemplar feature
+    (`connector/spanmetricsconnector/config.go` exemplars.enabled /
+    max_per_data_point) with a DETERMINISTIC slowest-first selection
+    instead of the reference's arrival sampling (oracle-checkable; same
+    cardinality bound). Selection is collect+sort+slice per group: K is
+    small and groups are window-bounded; an unbounded-group corpus should
+    use a rank-window pass instead.
+    """
     bounds = buckets or DEFAULT_BUCKETS_MS
     n = len(bounds) + 1
     # one scalar bucket index per row, then n conditional sums — no per-row
@@ -160,5 +172,28 @@ def span_metrics(
                 ).alias(f"b{i}")
                 for i in range(n)
             ]).alias("bucket_counts"),
+            *(
+                [
+                    F.slice(
+                        F.reverse(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.when(
+                                        F.col(duration_col).isNotNull(),
+                                        F.struct(
+                                            F.col(duration_col).cast("double").alias("value"),
+                                            F.col(exemplar_id_col).alias("id"),
+                                        ),
+                                    )
+                                )
+                            )
+                        ),
+                        1,
+                        exemplars,
+                    ).alias("exemplars")
+                ]
+                if exemplars
+                else []
+            ),
         )
     )

@@ -113,6 +113,46 @@ FROM spans GROUP BY trace_id
 )
 
 
+def q_span_metrics_exemplars(spark, sf_dir):
+    """spanmetrics with exemplars: the 2 slowest spans per series attach as
+    (value, id) structs; rendered as an id list for hashing."""
+    from ..operators import metrics as metric_ops
+
+    out = metric_ops.span_metrics(
+        _spans(spark, sf_dir), dims=["service"], duration_col="duration_ms",
+        window_s=86400, exemplars=2,
+    )
+    return out.select(
+        "window_id", "service", "calls",
+        F.concat_ws(",", F.transform("exemplars", lambda e: e["id"])).alias("exemplar_ids"),
+    )
+
+
+O_SPAN_EXEMPLARS = (
+    _PREFIX
+    + _SPANS_CTE
+    + """
+, w AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS window_id, service, span_id, duration_ms
+  FROM spans
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY window_id, service
+    ORDER BY duration_ms DESC, span_id DESC) AS rk
+  FROM w WHERE duration_ms IS NOT NULL
+), ex AS (
+  SELECT window_id, service,
+         string_agg(span_id, ',' ORDER BY rk) AS exemplar_ids
+  FROM ranked WHERE rk <= 2 GROUP BY 1, 2
+), calls AS (
+  SELECT window_id, service, count(*) AS calls FROM w GROUP BY 1, 2
+)
+SELECT c.window_id, c.service, c.calls, coalesce(e.exemplar_ids, '') AS exemplar_ids
+FROM calls c LEFT JOIN ex e USING (window_id, service)
+"""
+)
+
+
 def q_tail_sampling(spark, sf_dir):
     """latency + error policies, probabilistic share = 0 (deterministic)."""
     out = trace_ops.tail_sample(
@@ -697,6 +737,7 @@ ASOF LEFT JOIN dim d ON e.user_id = d.user_id AND e.ts >= d.ts
 CATALOG2_QUERIES = {
     "redact_attributes": q_redact_attributes,
     "group_by_trace": q_group_by_trace,
+    "span_metrics_exemplars": q_span_metrics_exemplars,
     "tail_sampling": q_tail_sampling,
     "tail_sampling_policies": q_tail_sampling_policies,
     "service_graph": q_service_graph,
@@ -721,6 +762,7 @@ CATALOG2_QUERIES = {
 CATALOG2_ORACLES = {
     "redact_attributes": O_REDACT,
     "group_by_trace": O_GROUP_BY_TRACE,
+    "span_metrics_exemplars": O_SPAN_EXEMPLARS,
     "tail_sampling": O_TAIL_SAMPLING,
     "tail_sampling_policies": O_TAIL_POLICIES,
     "service_graph": O_SERVICE_GRAPH,
