@@ -185,3 +185,43 @@ def contamination_hits(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("contaminated_grams"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-training/RAG chunking pass.
+
+    One projection + posexplode: tokens split once, window starts generated
+    with sequence(), each chunk re-joined JVM-side. Chunk count scales with
+    document length, so explode parallelism grows with the data (no skew:
+    a giant doc becomes many rows). Output: (id, chunk_idx, chunk_text,
+    chunk_tokens_n).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # window starts: 1, 1+step, ... covering the final partial window
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1))
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1), lambda i: i * step + 1
+    )
+    chunks = F.transform(
+        starts, lambda st: F.array_join(F.slice(toks, st, chunk_tokens), " ")
+    )
+    out = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )
+    return out.withColumn(
+        "chunk_tokens_n",
+        F.when(F.length("chunk_text") == 0, 0).otherwise(
+            F.size(F.split("chunk_text", r"\s+"))
+        ).cast("long"),
+    )

@@ -531,6 +531,34 @@ FROM planted
 _DECON_N = 8
 
 
+_CHUNK_T = 40
+_CHUNK_OV = 8
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-token-window chunking with overlap (pre-training/RAG prep)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_fns.chunk_documents(docs, chunk_tokens=_CHUNK_T, overlap=_CHUNK_OV)
+
+
+O_CHUNK_DOCS = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+), n AS (
+  SELECT doc_id, ws, len(ws) AS n_tok,
+         greatest(CAST(ceil((len(ws) - {_CHUNK_OV}) / {_CHUNK_T - _CHUNK_OV}.0) AS BIGINT), 1) AS n_chunks
+  FROM toks
+), idx AS (
+  SELECT doc_id, ws, unnest(range(n_chunks)) AS chunk_idx FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(ws[chunk_idx * {_CHUNK_T - _CHUNK_OV} + 1 : chunk_idx * {_CHUNK_T - _CHUNK_OV} + {_CHUNK_T}], ' ') AS chunk_text,
+       CASE WHEN length(array_to_string(ws[chunk_idx * {_CHUNK_T - _CHUNK_OV} + 1 : chunk_idx * {_CHUNK_T - _CHUNK_OV} + {_CHUNK_T}], ' ')) = 0 THEN 0
+            ELSE len(string_split_regex(array_to_string(ws[chunk_idx * {_CHUNK_T - _CHUNK_OV} + 1 : chunk_idx * {_CHUNK_T - _CHUNK_OV} + {_CHUNK_T}], ' '), '\s+')) END AS chunk_tokens_n
+FROM idx
+"""
+
+
 _CANARY = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8"
 
 
@@ -704,6 +732,7 @@ TRAINING_QUERIES = {
     "frame_sample_plan": q_frame_sample_plan,
     "curation_pipeline": q_curation_pipeline,
     "pii_scrub_docs": q_pii_scrub_docs,
+    "chunk_documents": q_chunk_documents,
     "decontaminate_docs": q_decontaminate_docs,
     "dedup_components": q_dedup_components,
 }
@@ -723,6 +752,7 @@ TRAINING_ORACLES = {
     # multimodal: pandas-UDF stub features -> rows-only
     "curation_pipeline": _curation_oracle(),
     "pii_scrub_docs": O_PII_SCRUB,
+    "chunk_documents": O_CHUNK_DOCS,
     "decontaminate_docs": O_DECONTAMINATE,
     "dedup_components": _components_oracle(),
 }

@@ -158,3 +158,23 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from open_telemetry_opentelemetry_collector_contrib_spark.functions.text import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=40, overlap=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # 100 tokens, step 30 -> ceil(90/30)=3 chunks: [0:40],[30:70],[60:100]
+    assert [r.chunk_tokens_n for r in c1] == [40, 40, 40]
+    assert c1[0].chunk_text.split()[30:] == c1[1].chunk_text.split()[:10]  # overlap
+    assert c1[-1].chunk_text.split()[-1] == "w99"  # full coverage
+    c2 = by_doc[2]
+    assert len(c2) == 1 and c2[0].chunk_text == "short doc"
