@@ -396,3 +396,73 @@ def parse_json_array(
         for i, f in enumerate(fields)
     ]
     return df.withColumn(out_col, F.map_from_entries(F.array(*pairs)))
+
+
+# ---------------------------------------------------------------------------
+# stanza time parser: gotime + epoch layout types
+# (`pkg/stanza/operator/helper/time.go:22-97`; strptime lives in
+#  ottl/functions.py strptime_to_java)
+# ---------------------------------------------------------------------------
+
+# Go reference-time tokens -> Java pattern, longest-first so '15' wins
+# over '1' and '2006' over '06'
+_GOTIME_TOKENS = [
+    ("2006", "yyyy"), ("Monday", "EEEE"), ("January", "MMMM"),
+    ("Jan", "MMM"), ("Mon", "EEE"),
+    (".000000000", ".SSSSSSSSS"), (".000000", ".SSSSSS"), (".000", ".SSS"),
+    ("15", "HH"), ("01", "MM"), ("02", "dd"), ("03", "hh"), ("04", "mm"),
+    ("05", "ss"), ("06", "yy"),
+    ("Z07:00", "XXX"), ("Z0700", "XX"), ("-07:00", "xxx"), ("-0700", "xx"),
+    ("MST", "zz"), ("PM", "a"), ("pm", "a"),
+    ("2", "d"), ("1", "M"), ("3", "h"), ("4", "m"), ("5", "s"),
+]
+
+
+def gotime_to_java(layout: str) -> str:
+    """Go time.Parse reference layout ('2006-01-02 15:04:05') -> Java
+    SimpleDateFormat pattern. Non-token letters are quoted."""
+    out: list[str] = []
+    i = 0
+    while i < len(layout):
+        for tok, java in _GOTIME_TOKENS:
+            if layout.startswith(tok, i):
+                out.append(java)
+                i += len(tok)
+                break
+        else:
+            c = layout[i]
+            out.append(f"'{c}'" if c.isalpha() else c)
+            i += 1
+    return "".join(out)
+
+
+def parse_time(
+    df: DataFrame,
+    parse_from: str,
+    layout_type: str = "strptime",
+    layout: str = "%Y-%m-%d %H:%M:%S",
+    out_col: str = "timestamp",
+) -> DataFrame:
+    """stanza time parser: strptime / gotime / epoch layout types.
+
+    epoch layouts: 's', 'ms', 'us', 'ns' (integer) and 's.ms', 's.us',
+    's.ns' (fractional seconds) — time.go:93,182-227. Unparseable values
+    -> NULL (on_error=send)."""
+    src = F.col(parse_from)
+    if layout_type == "epoch":
+        v = src.cast("string").try_cast("double")
+        div = {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9,
+               "s.ms": 1.0, "s.us": 1.0, "s.ns": 1.0}
+        if layout not in div:
+            raise ValueError(f"bad epoch layout {layout!r}")
+        ts = F.timestamp_micros((v / div[layout] * 1e6).cast("long"))
+        return df.withColumn(out_col, ts)
+    if layout_type == "gotime":
+        fmt = gotime_to_java(layout)
+    elif layout_type == "strptime":
+        from ..ottl.functions import strptime_to_java
+
+        fmt = strptime_to_java(layout)
+    else:
+        raise ValueError(f"unknown layout_type {layout_type!r}")
+    return df.withColumn(out_col, F.try_to_timestamp(src, F.lit(fmt)))

@@ -226,3 +226,24 @@ def test_jsonarray_parser(spark):
     out2 = p.parse_json_array(df, header="id,level,ok,extra").collect()[0]
     assert out2.parsed["id"] == "1" and out2.parsed["level"] == "debug"
     assert out2.parsed["ok"] == "true"
+
+
+def test_time_parser_gotime_and_epoch(spark):
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators import parse as p
+
+    assert p.gotime_to_java("2006-01-02 15:04:05") == "yyyy-MM-dd HH:mm:ss"
+    assert p.gotime_to_java("Jan 2 2006 3:04PM") == "MMM d yyyy h:mma"
+    df = spark.createDataFrame(
+        [("2024-02-04 06:05:01", "1706997901", "1706997901.5", "not a time")],
+        ["g", "es", "esms", "bad"],
+    )
+    out = p.parse_time(df, "g", "gotime", "2006-01-02 15:04:05", "t1")
+    out = p.parse_time(out, "es", "epoch", "s", "t2")
+    out = p.parse_time(out, "esms", "epoch", "s.ms", "t3")
+    out = p.parse_time(out, "bad", "gotime", "2006-01-02", "t4")
+    r = out.collect()[0]
+    assert str(r.t1) == "2024-02-04 06:05:01"
+    import datetime as dt
+    assert r.t2 == dt.datetime(2024, 2, 3, 22, 5, 1)  # UTC epoch
+    assert r.t3 - r.t2 == dt.timedelta(milliseconds=500)
+    assert r.t4 is None
