@@ -257,7 +257,23 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
         only_named = bool(named.get("namedCapturesOnly", Literal(True, "bool")).value) if isinstance(named.get("namedCapturesOnly"), Literal) else True
         if len(args) > 2 and isinstance(args[2], Literal):
             only_named = bool(args[2].value)
-        regex, alias_names = grok_expand(pattern, named_captures_only=only_named)
+        # patternDefinitions: list of "NAME=pattern" strings
+        # (func_extract_grok_patterns.go:21,46-58)
+        defs = None
+        pd_node = named.get("patternDefinitions")
+        if pd_node is None and len(args) > 3:
+            pd_node = args[3]
+        if isinstance(pd_node, FuncCall) and pd_node.name == "__list__":
+            defs = {}
+            for item in pd_node.args:
+                raw = _lit_of(item, "patternDefinition")
+                if "=" not in raw:
+                    raise OTTLCompileError(f"bad pattern definition {raw!r}")
+                k, v = raw.split("=", 1)
+                defs[k] = v
+        regex, alias_names = grok_expand(
+            pattern, named_captures_only=only_named, pattern_definitions=defs
+        )
         if len(alias_names) >= 4:
             # composite patterns: k regexp_extract calls re-match the big
             # expanded regex k times per row; one Arrow-batched match wins
@@ -288,12 +304,37 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
             "map",
         )
     if name == "ParseCSV":
+        # func_parse_csv.go:28-38: delimiter, headerDelimiter (defaults to
+        # delimiter), mode strict|lazyQuotes|ignoreQuotes. strict/lazyQuotes
+        # run through from_csv (JVM CSV reader: quote-aware); ignoreQuotes
+        # is a plain split (quotes are data).
         header = _lit_of(args[1], "ParseCSV header")
-        delim = dict(call.named).get("delimiter")
-        d = _lit_of(delim, "delimiter") if delim is not None else ","
-        fields = header.split(d)
-        parts = F.split(val(0).col, re.escape(d))
-        pairs = [F.struct(F.lit(f).alias("key"), F.element_at(parts, i + 1).alias("value")) for i, f in enumerate(fields)]
+        nmap = dict(call.named)
+        d = _lit_of(nmap["delimiter"], "delimiter") if "delimiter" in nmap else ","
+        hd = (
+            _lit_of(nmap["headerDelimiter"], "headerDelimiter")
+            if "headerDelimiter" in nmap
+            else d
+        )
+        mode = _lit_of(nmap["mode"], "mode") if "mode" in nmap else "strict"
+        fields = header.split(hd)
+        if mode == "ignoreQuotes":
+            parts = F.split(val(0).col, re.escape(d))
+            pairs = [
+                F.struct(F.lit(f).alias("key"), F.element_at(parts, i + 1).alias("value"))
+                for i, f in enumerate(fields)
+            ]
+            return TypedCol(F.map_from_entries(F.array(*pairs)), "map")
+        if mode not in ("strict", "lazyQuotes"):
+            raise OTTLCompileError(f"ParseCSV: unknown mode {mode!r}")
+        schema = ", ".join(f"`{f}` STRING" for f in fields)
+        parsed = F.from_csv(
+            val(0).col, F.lit(schema), {"sep": d, "mode": "PERMISSIVE"}
+        )
+        pairs = [
+            F.struct(F.lit(f).alias("key"), parsed[f].alias("value"))
+            for f in fields
+        ]
         return TypedCol(F.map_from_entries(F.array(*pairs)), "map")
     if name == "MD5":
         return TypedCol(F.md5(val(0).col.cast("string")), "string")

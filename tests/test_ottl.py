@@ -520,3 +520,25 @@ def test_replace_pattern_with_hash_function(spark):
         df, 'replace_pattern(path, "/", "@", SHA256, "hash=%s")'
     )
     assert out.collect()[0].path.startswith("hash=c3641f85")
+
+
+def test_parse_csv_quotes_and_modes(spark):
+    """func_parse_csv.go modes: strict is quote-aware; ignoreQuotes treats
+    quotes as data; headerDelimiter decouples from the value delimiter."""
+    df = spark.createDataFrame([('a,"b,c",d',)], ["line"])
+    out = apply_statement(df, 'set(m, ParseCSV(line, "f1,f2,f3"))').collect()[0].m
+    assert out == {"f1": "a", "f2": "b,c", "f3": "d"}
+    out2 = apply_statement(
+        df, 'set(m, ParseCSV(line, "f1|f2|f3|f4", headerDelimiter = "|", mode = "ignoreQuotes"))'
+    ).collect()[0].m
+    assert out2 == {"f1": "a", "f2": '"b', "f3": 'c"', "f4": "d"}
+
+
+def test_grok_pattern_definitions(spark):
+    """ExtractGrokPatterns patternDefinitions: inline NAME=regex defs."""
+    df = spark.createDataFrame([("order id=ORD-7731 ok",)], ["text"])
+    out = apply_statement(
+        df,
+        'set(m, ExtractGrokPatterns(text, "id=%{ORDID:oid}", true, ["ORDID=ORD-[0-9]+"]))',
+    ).collect()[0].m
+    assert out == {"oid": "ORD-7731"}
