@@ -356,17 +356,40 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
     if name == "Base64Decode":
         return TypedCol(F.unbase64(val(0).col).cast("string"), "string")
     if name == "Decode":
+        # func_decode.go: base64 variants, hex, plus IANA charsets — the
+        # charset path maps to Spark's decode() (JVM charset support)
         encoding = _lit_of(args[1], "Decode encoding") if len(args) > 1 else "base64"
         if encoding in ("base64", "base64-raw", "base64-url"):
             return TypedCol(F.unbase64(val(0).col).cast("string"), "string")
         if encoding in ("hex",):
             return TypedCol(F.unhex(val(0).col).cast("string"), "string")
-        if encoding in ("us-ascii", "utf8", "utf-8"):
-            return TypedCol(val(0).col.cast("string"), "string")
+        charsets = {
+            "us-ascii": "US-ASCII", "ascii": "US-ASCII",
+            "utf8": "UTF-8", "utf-8": "UTF-8",
+            "utf-16": "UTF-16", "utf16": "UTF-16",
+            "iso-8859-1": "ISO-8859-1", "latin1": "ISO-8859-1",
+            "windows-1252": "ISO-8859-1",
+        }
+        if encoding.lower() in charsets:
+            a = val(0)
+            if a.t == "bytes":
+                return TypedCol(F.decode(a.col, charsets[encoding.lower()]), "string")
+            return TypedCol(a.col.cast("string"), "string")
         raise OTTLCompileError(f"Decode: unsupported encoding {encoding!r}")
     if name == "Time":
+        # Time(target, format, location?, locale?) — location parses the
+        # naive local time in that zone and yields the UTC instant
+        # (func_time.go Arguments)
         fmt = strptime_to_java(_lit_of(args[1], "Time format"))
-        return TypedCol(F.try_to_timestamp(val(0).col, F.lit(fmt)), "time")
+        ts = F.try_to_timestamp(val(0).col, F.lit(fmt))
+        loc = None
+        if len(args) > 2 and isinstance(args[2], Literal):
+            loc = args[2].value
+        if isinstance(dict(call.named).get("location"), Literal):
+            loc = dict(call.named)["location"].value
+        if loc:
+            ts = F.to_utc_timestamp(ts, loc)
+        return TypedCol(ts, "time")
     if name == "TruncateTime":
         dur = parse_go_duration(_lit_of(args[1], "TruncateTime duration"))
         sec = int(dur)

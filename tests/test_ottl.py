@@ -542,3 +542,17 @@ def test_grok_pattern_definitions(spark):
         'set(m, ExtractGrokPatterns(text, "id=%{ORDID:oid}", true, ["ORDID=ORD-[0-9]+"]))',
     ).collect()[0].m
     assert out == {"oid": "ORD-7731"}
+
+
+def test_time_location_and_decode_charsets(spark):
+    df = spark.createDataFrame([("2024-06-01 12:00:00",)], ["t"])
+    out = apply_statement(
+        df, 'set(ts, Time(t, "%Y-%m-%d %H:%M:%S", "America/New_York"))'
+    ).collect()[0]
+    # noon EDT (UTC-4) == 16:00 UTC (session TZ is UTC)
+    assert str(out.ts) == "2024-06-01 16:00:00"
+    df2 = spark.createDataFrame([(bytearray("café".encode("latin1")), "aGk=")], ["b", "b64"])
+    r = apply_statement(df2, 'set(x, Decode(b, "ISO-8859-1"))').collect()[0]
+    assert r.x == "café"
+    r2 = apply_statement(df2, 'set(x, Decode(b64, "base64"))').collect()[0]
+    assert r2.x == "hi"
