@@ -63,3 +63,43 @@ def read_multiline_logs(
         combine_with=combine_with,
         out_col="entry",
     )
+
+
+def read_text_logs_encoded(
+    spark: SparkSession, path: str, encoding: str, line_sep: str = "\n"
+) -> DataFrame:
+    """Non-UTF-8 file ingestion (fileconsumer's ``encoding`` config,
+    `pkg/stanza/fileconsumer/config.go:71-90`).
+
+    Spark's text source is UTF-8 only, so other charsets read through the
+    binaryFile source and decode JVM-side (F.decode), then split into lines
+    with posexplode — one row per line with in-file order, same shape as
+    read_text_logs. Whole-file reads bound parallelism at one task per file
+    (the reference tails files sequentially too); huge single files should
+    be UTF-8 or pre-split.
+    """
+    raw = spark.read.format("binaryFile").load(path)
+    decoded = raw.select(
+        F.col("path").alias("file"),
+        F.decode(F.col("content"), encoding).alias("__text"),
+    )
+    lines = decoded.select(
+        "file",
+        F.posexplode(F.split(F.col("__text"), re_escape(line_sep))).alias(
+            "__idx", "line"
+        ),
+    )
+    # drop a trailing empty line from a final separator
+    w = Window.partitionBy("file")
+    lines = lines.withColumn("__max", F.max("__idx").over(w)).filter(
+        ~((F.col("__idx") == F.col("__max")) & (F.col("line") == ""))
+    )
+    return lines.select(
+        "file", (F.col("__idx") + 1).alias("line_no"), "line"
+    )
+
+
+def re_escape(s: str) -> str:
+    import re
+
+    return re.escape(s)

@@ -54,3 +54,20 @@ def test_multiline_recombine(spark, tmp_path):
     assert counts == [1, 3, 1]
     b = [e for _, e, _ in sorted(by_file["b.log"])]
     assert len(b) == 2 and b[1].endswith("at lib.go:5")
+
+
+def test_encoded_filelog_latin1_and_utf16(spark, tmp_path):
+    from open_telemetry_opentelemetry_collector_contrib_spark.sources.filelog import (
+        read_text_logs_encoded,
+    )
+
+    p1 = tmp_path / "latin1.log"
+    p1.write_bytes("première ligne\ndeuxième café\n".encode("latin-1"))
+    out = read_text_logs_encoded(spark, str(p1), "ISO-8859-1")
+    rows = sorted(out.collect(), key=lambda r: r.line_no)
+    assert [r.line for r in rows] == ["première ligne", "deuxième café"]
+
+    p2 = tmp_path / "utf16.log"
+    p2.write_bytes("alpha\nbeta".encode("utf-16"))
+    out2 = read_text_logs_encoded(spark, str(p2), "UTF-16")
+    assert [r.line for r in sorted(out2.collect(), key=lambda r: r.line_no)] == ["alpha", "beta"]
