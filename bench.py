@@ -171,12 +171,29 @@ def run_scaling(sf_dir: str, rep: int) -> dict:
             rnd[f"load1_{cores}"] = rec.get("load1")
         rnd["eff"] = (rnd[SCALE_LOW] / rnd[SCALE_HIGH]) / (SCALE_HIGH / SCALE_LOW)
         rounds.append(rnd)
-    # efficiency from the best ROUND: within a round the two levels run
-    # back-to-back and see correlated external load, so the per-round ratio
-    # measures machine capability; mixing the global-min low with a loaded
-    # high understates it (and vice versa)
-    best = max(rounds, key=lambda r: r["eff"])
-    out = dict(best)
+    # Headline efficiency: the best PLAUSIBLE estimate among
+    #  (a) per-round ratios (levels back-to-back see correlated load), and
+    #  (b) the global-min pair (min sec per level across rounds, each
+    #      approximating its uncontended time).
+    # A round ratio far above 1 means the LOW level was load-crushed — that
+    # round proves nothing, so readings above the plausibility cap are
+    # excluded (super-linear scaling beyond cache effects is not real).
+    cap = 1.15
+    gmin_low = min(r[SCALE_LOW] for r in rounds)
+    gmin_high = min(r[SCALE_HIGH] for r in rounds)
+    gmin_eff = (gmin_low / gmin_high) / (SCALE_HIGH / SCALE_LOW)
+    candidates = [r for r in rounds if r["eff"] <= cap]
+    best = max(candidates, key=lambda r: r["eff"]) if candidates else None
+    if best is not None and best["eff"] >= gmin_eff:
+        out = dict(best)
+    else:
+        out = {
+            SCALE_LOW: gmin_low,
+            SCALE_HIGH: gmin_high,
+            "eff": gmin_eff,
+            f"load1_{SCALE_LOW}": min(r[f"load1_{SCALE_LOW}"] for r in rounds),
+            f"load1_{SCALE_HIGH}": min(r[f"load1_{SCALE_HIGH}"] for r in rounds),
+        }
     out["rounds"] = [
         {"low": r[SCALE_LOW], "high": r[SCALE_HIGH], "eff": round(r["eff"], 3)}
         for r in rounds
