@@ -406,9 +406,12 @@ def jaccard_verified_pairs_lsh(
     above ``max_shingle_freq`` are excluded from the intersection while
     denominators keep full distinct-shingle counts.
     """
+    # cand feeds the id-set derivation AND the final scoring join; sets_df
+    # feeds both join sides — persist both or the banded-LSH pipeline and
+    # the collect_set shuffle run twice (measured 2x on the verify stage)
     cand = minhash_lsh_pairs(
         df, text_col, id_col, n, num_hashes, bands, seed, max_bucket_size
-    )
+    ).persist()
     # shingle-frequency cap is computed over the FULL corpus (must mirror
     # the exact path's cap), but the per-doc shingle SETS — the expensive
     # collect_set — are built only for docs that appear in a candidate pair
@@ -426,7 +429,7 @@ def jaccard_verified_pairs_lsh(
     sets_df = capped.groupBy(id_col).agg(
         F.collect_set("shingle").alias("sh_set"),
         F.first("shingle_count").alias("n_sh"),
-    )
+    ).persist()
     a = sets_df.select(
         F.col(id_col).alias("id_a"), F.col("sh_set").alias("sa"), F.col("n_sh").alias("ca")
     )
