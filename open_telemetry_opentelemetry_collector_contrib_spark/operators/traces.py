@@ -76,7 +76,8 @@ def tail_sample(
     )
     keep = F.col("__has_err") == 1
     if latency_threshold_ms is not None:
-        keep = keep | (F.col("__max_lat") > latency_threshold_ms)
+        # sampling/latency.go:53-54: duration >= threshold (no upper bound)
+        keep = keep | (F.col("__max_lat") >= latency_threshold_ms)
     bucket = F.pmod(F.xxhash64(F.col("trace_id"), F.lit(seed)), F.lit(10000))
     keep = keep | (bucket < int(sample_percent * 100))
     sampled = decisions.filter(keep).select("trace_id")
@@ -224,11 +225,13 @@ def _trace_decision(p: TailPolicy, idx: int) -> Column:
     if p.type == "always_sample":
         return F.lit(True)
     if p.type == "latency":
+        # boundary semantics per sampling/latency.go:53-56: no upper bound ->
+        # duration >= threshold; with upper -> threshold < d AND d <= upper
         d = F.col("__max_dur")
-        cond = d > (p.threshold_ms or 0)
-        if p.upper_threshold_ms is not None:
-            # upper bound: reference treats it as 'latency < upper' refinement
-            cond = cond & (d < p.upper_threshold_ms)
+        if p.upper_threshold_ms is None:
+            cond = d >= (p.threshold_ms or 0)
+        else:
+            cond = (d > (p.threshold_ms or 0)) & (d <= p.upper_threshold_ms)
         return F.coalesce(cond, F.lit(False))
     if p.type == "probabilistic":
         bucket = F.pmod(

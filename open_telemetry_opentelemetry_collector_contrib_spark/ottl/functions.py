@@ -36,6 +36,16 @@ for _i, _name in enumerate(("TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL"))
         ENUMS[f"SEVERITY_NUMBER_{_name}{_j}"] = base + _j - 1
 
 
+# windows-1252 vs ISO-8859-1: only 0x80-0x9F differ; the 5 undefined cp1252
+# bytes (81 8D 8F 90 9D) pass through as C1 controls (Java charset behavior)
+_CP1252_TRANSLATE = (
+    "\x80\x82\x83\x84\x85\x86\x87\x88\x89\x8a\x8b\x8c\x8e"
+    "\x91\x92\x93\x94\x95\x96\x97\x98\x99\x9a\x9b\x9c\x9e\x9f",
+    "€‚ƒ„…†‡ˆ‰Š‹ŒŽ"
+    "‘’“”•–—˜™š›œžŸ",
+)
+
+
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
@@ -283,6 +293,7 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
                 grok_extract_map_udf(
                     val(0).col.cast("string"), pattern,
                     named_captures_only=only_named,
+                    pattern_definitions=defs,
                 ),
                 "map",
             )
@@ -368,12 +379,20 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
             "utf8": "UTF-8", "utf-8": "UTF-8",
             "utf-16": "UTF-16", "utf16": "UTF-16",
             "iso-8859-1": "ISO-8859-1", "latin1": "ISO-8859-1",
-            "windows-1252": "ISO-8859-1",
+            # windows-1252 differs from ISO-8859-1 only in 0x80-0x9F (smart
+            # quotes, euro, em-dash vs C1 controls); Spark 4's decode()
+            # whitelist excludes it, so decode latin1 then translate the C1
+            # range to the cp1252 glyphs (1:1, JVM-side, exact)
+            "windows-1252": "ISO-8859-1", "cp1252": "ISO-8859-1",
         }
         if encoding.lower() in charsets:
             a = val(0)
             if a.t == "bytes":
-                return TypedCol(F.decode(a.col, charsets[encoding.lower()]), "string")
+                decoded = F.decode(a.col, charsets[encoding.lower()])
+                if encoding.lower() in ("windows-1252", "cp1252"):
+                    src, dst = _CP1252_TRANSLATE
+                    decoded = F.translate(decoded, src, dst)
+                return TypedCol(decoded, "string")
             return TypedCol(a.col.cast("string"), "string")
         raise OTTLCompileError(f"Decode: unsupported encoding {encoding!r}")
     if name == "Time":

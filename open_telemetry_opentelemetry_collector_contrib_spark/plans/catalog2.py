@@ -169,7 +169,7 @@ O_TAIL_SAMPLING = (
   SELECT trace_id FROM spans
   GROUP BY trace_id
   HAVING max(CASE WHEN status = 'err' THEN 1 ELSE 0 END) = 1
-      OR coalesce(max(duration_ms) > 2000, FALSE)
+      OR coalesce(max(duration_ms) >= 2000, FALSE)
 )
 SELECT s.trace_id, s.span_id FROM spans s JOIN keep USING (trace_id)
 """

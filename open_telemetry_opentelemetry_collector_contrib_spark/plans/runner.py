@@ -80,9 +80,11 @@ class PipelineRunner:
         self.window_s = window_s
         self.salt_buckets = salt_buckets
         # fmt='iceberg' routes every sink write through sinks.write_table
-        # against `<table_prefix>.route_<sink>` tables (append = snapshot
-        # commit per chunk); 'parquet' writes chunked directories. The
-        # lineage/resume protocol is identical either way.
+        # against `<table_prefix>.route_<sink>` tables partitioned by
+        # chunk_id, using overwritePartitions() so each chunk commit is one
+        # snapshot that REPLACES that chunk's partition — a crash after some
+        # sink writes but before the lineage commit re-runs the chunk
+        # idempotently, matching the parquet path's per-chunk-dir overwrite.
         self.fmt = fmt
         self.table_prefix = table_prefix
         self.lineage_dir = os.path.join(out_dir, "lineage")
@@ -169,12 +171,13 @@ class PipelineRunner:
         for sink in flagship.SINKS:
             per_sink = ordered.filter(F.col("route") == sink).drop("route")
             if self.fmt == "iceberg":
-                # per-sink Iceberg table, one append (= one snapshot) per
-                # chunk; chunk_id column keeps chunk lineage queryable
+                # per-sink Iceberg table partitioned by chunk_id; one
+                # dynamic-overwrite snapshot per chunk = idempotent re-run
                 sinks_io.write_table(
                     per_sink.withColumn("chunk_id", F.lit(chunk_id)),
                     f"{self.table_prefix}.route_{sink}",
-                    mode="append",
+                    mode="overwrite_partitions",
+                    group_by=["chunk_id"],
                     fmt="iceberg",
                 )
             else:
@@ -191,7 +194,8 @@ class PipelineRunner:
             sinks_io.write_table(
                 counts.withColumn("chunk_id", F.lit(chunk_id)),
                 f"{self.table_prefix}.counts",
-                mode="append",
+                mode="overwrite_partitions",
+                group_by=["chunk_id"],
                 fmt="iceberg",
             )
         else:

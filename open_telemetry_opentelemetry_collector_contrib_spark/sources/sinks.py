@@ -39,12 +39,32 @@ def write_table(
     fmt: str = "auto",
 ) -> None:
     """Write to an Iceberg table (``catalog.db.table`` target) when
-    available, else a parquet directory (path target)."""
+    available, else a parquet directory (path target).
+
+    ``mode='overwrite_partitions'`` is the idempotent chunk-commit mode:
+    Iceberg ``overwritePartitions()`` replaces exactly the partitions present
+    in ``df`` (one dynamic-overwrite snapshot), so re-running a chunk after a
+    crash-before-lineage-commit replaces its rows instead of appending
+    duplicates. First write creates the table partitioned by ``group_by``.
+    """
     spark = df.sparkSession
     use_iceberg = fmt == "iceberg" or (
         fmt == "auto" and "/" not in target and iceberg_available(spark)
     )
     if use_iceberg:
+        if mode == "overwrite_partitions":
+            try:
+                df.writeTo(target).overwritePartitions()
+            except Exception as e:  # table does not exist yet -> create it
+                if "TABLE_OR_VIEW_NOT_FOUND" not in str(e) and "not found" not in str(e).lower():
+                    raise
+                writer = df.writeTo(target)
+                if group_by:
+                    from pyspark.sql import functions as F
+
+                    writer = writer.partitionedBy(*[F.col(c) for c in group_by])
+                writer.create()
+            return
         writer = df.writeTo(target)
         if group_by:
             from pyspark.sql import functions as F
@@ -54,6 +74,13 @@ def write_table(
             writer.createOrReplace()
         else:
             writer.append()
+        return
+    if mode == "overwrite_partitions":
+        # parquet analog: dynamic partition overwrite on the group_by cols
+        w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        if group_by:
+            w = w.partitionBy(*group_by)
+        w.parquet(target)
         return
     w = df.write.mode(mode)
     if group_by:

@@ -544,6 +544,20 @@ def test_grok_pattern_definitions(spark):
     assert out == {"oid": "ORD-7731"}
 
 
+def test_grok_pattern_definitions_fast_path(spark):
+    """patternDefinitions must reach the >=4-group pandas-UDF fast path too,
+    including a custom def that shadows a builtin name (WORD as digits-only
+    here — the builtin \\b\\w+\\b would match 'abc')."""
+    df = spark.createDataFrame([("u=alice p=1 q=2 r=3 w=42",)], ["text"])
+    out = apply_statement(
+        df,
+        'set(m, ExtractGrokPatterns(text, '
+        '"u=%{USERNAME:u} p=%{INT:p} q=%{INT:q} r=%{INT:r} w=%{WORD:w}", '
+        'true, ["WORD=[0-9]+"]))',
+    ).collect()[0].m
+    assert out == {"u": "alice", "p": "1", "q": "2", "r": "3", "w": "42"}
+
+
 def test_time_location_and_decode_charsets(spark):
     df = spark.createDataFrame([("2024-06-01 12:00:00",)], ["t"])
     out = apply_statement(
@@ -556,3 +570,10 @@ def test_time_location_and_decode_charsets(spark):
     assert r.x == "café"
     r2 = apply_statement(df2, 'set(x, Decode(b64, "base64"))').collect()[0]
     assert r2.x == "hi"
+    # windows-1252 is NOT ISO-8859-1 in 0x80-0x9F: 0x93/0x94 are smart
+    # quotes, 0x80 is the euro sign (C1 controls in latin1)
+    df3 = spark.createDataFrame(
+        [(bytearray(b"\x93hi\x94 \x80"),)], ["b"]
+    )
+    r3 = apply_statement(df3, 'set(x, Decode(b, "windows-1252"))').collect()[0]
+    assert r3.x == "“hi” €"

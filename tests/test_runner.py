@@ -157,6 +157,45 @@ def test_write_table_iceberg_writer_chain():
     df2.writeTo.return_value.partitionedBy.assert_not_called()
 
 
+def test_write_table_iceberg_overwrite_partitions_idempotent():
+    """mode='overwrite_partitions': existing table -> overwritePartitions()
+    (dynamic-overwrite snapshot, idempotent chunk re-run); missing table ->
+    create() partitioned by the chunk key. Never append (would duplicate a
+    crashed chunk's rows on resume)."""
+    from unittest.mock import MagicMock
+
+    from open_telemetry_opentelemetry_collector_contrib_spark.sources import sinks
+
+    df = MagicMock()
+    sinks.write_table(
+        df, "cat.db.t", mode="overwrite_partitions", group_by=["chunk_id"], fmt="iceberg"
+    )
+    df.writeTo.return_value.overwritePartitions.assert_called_once()
+    df.writeTo.return_value.append.assert_not_called()
+
+    # first-write path: overwritePartitions raises TABLE_OR_VIEW_NOT_FOUND
+    df2 = MagicMock()
+    first = MagicMock()
+    first.overwritePartitions.side_effect = Exception(
+        "[TABLE_OR_VIEW_NOT_FOUND] The table cat.db.t cannot be found"
+    )
+    created = MagicMock()
+    df2.writeTo.side_effect = [first, created]
+    sinks.write_table(
+        df2, "cat.db.t", mode="overwrite_partitions", group_by=["chunk_id"], fmt="iceberg"
+    )
+    created.partitionedBy.assert_called_once()
+    created.partitionedBy.return_value.create.assert_called_once()
+
+    # unrelated write failures must propagate, not be swallowed as "create"
+    df3 = MagicMock()
+    df3.writeTo.return_value.overwritePartitions.side_effect = Exception("quota exceeded")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="quota"):
+        sinks.write_table(df3, "cat.db.t", mode="overwrite_partitions", fmt="iceberg")
+
+
 def test_runner_iceberg_format_path(spark, tmp_path, monkeypatch):
     """format='iceberg' config: every sink + counts write flows through
     write_table with per-sink table targets and append (snapshot-per-chunk)
@@ -183,7 +222,9 @@ def test_runner_iceberg_format_path(spark, tmp_path, monkeypatch):
     assert len(results) == 1 and r.completed_chunks() == {0}
     targets = {c["target"] for c in calls}
     assert targets == {f"cat.db.route_{s}" for s in flagship.SINKS} | {"cat.db.counts"}
-    assert all(c["mode"] == "append" and c["fmt"] == "iceberg" for c in calls)
+    assert all(
+        c["mode"] == "overwrite_partitions" and c["fmt"] == "iceberg" for c in calls
+    )
     # routed-row conservation: per-sink appended rows sum to the chunk input
     sink_rows = sum(c["rows"] for c in calls if c["target"] != "cat.db.counts")
     assert sink_rows == results[0].metrics["rows_in"]

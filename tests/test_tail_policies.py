@@ -45,6 +45,17 @@ def test_status_and_latency_policies(spark):
     ) == set()
 
 
+def test_latency_policy_boundaries(spark):
+    """sampling/latency.go:53-56 boundary semantics: no upper bound keeps
+    duration >= threshold (inclusive); with an upper bound the window is
+    threshold < d <= upper (exclusive low, inclusive high)."""
+    # A max dur = 100, B = 5000, C = 10, D = 50
+    assert _kept(spark, [TailPolicy("latency", threshold_ms=100)]) == {"A", "B"}
+    assert _kept(
+        spark, [TailPolicy("latency", threshold_ms=100, upper_threshold_ms=5000)]
+    ) == {"B"}  # A excluded (d == threshold), B included (d == upper)
+
+
 def test_attribute_policies(spark):
     assert _kept(
         spark, [TailPolicy("string_attribute", key="service", values=["svc2"])]
