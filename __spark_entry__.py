@@ -212,7 +212,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CATALOG2_QUERIES)
     out.update(TRAINING_QUERIES)
     out.update(_flagship_queries())
-    return out
+    # Stable priority ordering: queries whose driver correctness rows are
+    # missing or stale (never recorded, or recorded only in round 1) lead the
+    # dict so a prefix-sampling driver records them first; relative order of
+    # the rest is unchanged.
+    priority = [
+        "pipeline_route",
+        "pipeline_sink_counts",
+        "pipeline_sum_latency",
+        "pii_scrub_docs",
+        "decontaminate_docs",
+        "chunk_documents",
+        "dedup_components",
+        "ann_ivf_fullprobe",
+        "transcripts",
+        "pipeline_parse",
+        "pipeline_enrich",
+        "ann_cosine_topk",
+        "ann_cosine_lsh",
+        "embedding_near_dup",
+        "curation_pipeline",
+        "ann_cosine_ivf",
+        "multimodal_features",
+        "frame_sample_plan",
+    ]
+    ordered = {k: out[k] for k in priority if k in out}
+    ordered.update(out)
+    return ordered
 
 
 def _flagship_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

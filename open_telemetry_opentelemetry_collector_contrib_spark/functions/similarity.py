@@ -147,24 +147,40 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 13,
+    fit_max: int = 4096,
 ) -> DataFrame:
     """IVF-style ANN: KMeans coarse quantizer partitions the corpus; each
     query searches only its ``nprobe`` nearest centroids' inverted lists.
 
-    Scale: the corpus is clustered once (MLlib KMeans, seeded/deterministic
-    given fixed partitioning of the training sample) and stored partitioned
-    by cluster id — a query touches nprobe/num_clusters of the data, and the
-    cluster column enables partition pruning on the stored table. Recall
-    trades with nprobe; `cosine_topk_bruteforce` is the exact oracle.
+    Scale: the quantizer is fit on a persisted deterministic SAMPLE of at
+    most ~``fit_max`` vectors (quantizer quality needs thousands of vectors,
+    not the full corpus — at 100 TB a full-corpus fit would be one multi-pass
+    scan per KMeans iteration), then assignment is a single map-side pass
+    over the corpus. Stored partitioned by cluster id, a query touches
+    nprobe/num_clusters of the data and the cluster column enables partition
+    pruning. Recall trades with nprobe; `cosine_topk_bruteforce` is the exact
+    oracle, and probing ALL clusters reproduces it exactly (the metamorphic
+    oracle `ann_ivf_fullprobe` uses that identity).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
     corpus = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")
     ).withColumn("__features", array_to_vector(F.col("__cv")))
-    model = KMeans(k=num_clusters, seed=seed, featuresCol="__features").fit(corpus)
+    # parquet count(*) is row-group-metadata cheap; the sample fraction keeps
+    # the fit input ~fit_max rows independent of corpus size. Persist so each
+    # KMeans iteration re-reads the sample, not the corpus.
+    n = embeddings.count()
+    fit_df = corpus
+    if n > fit_max:
+        fit_df = corpus.sample(fraction=min(1.0, 1.2 * fit_max / n), seed=seed)
+    fit_df = fit_df.persist()
+    try:
+        model = KMeans(k=num_clusters, seed=seed, featuresCol="__features").fit(fit_df)
+    finally:
+        fit_df.unpersist()
     assigned = model.transform(corpus).withColumnRenamed("prediction", "__cluster")
 
     centroids = [list(c) for c in model.clusterCenters()]
@@ -215,16 +231,31 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucket self-join.
 
     Only pairs sharing a sign bucket are scored (near-identical vectors
     almost always share all sign bits), then filtered by exact cosine.
+
+    Scale: buckets larger than ``max_bucket_size`` are skipped entirely
+    (same hot-bucket cap as the MinHash-LSH path, dedupe.py) — a degenerate
+    bucket (zero/templated embeddings all hashing identically) would
+    otherwise go quadratic. The skipped mass is exactly the pathological
+    duplicate clusters a dedup pipeline handles via exact-hash dedup first.
     """
     planes = _hyperplanes(dim, num_planes, seed)
     base = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+    # base feeds the size filter and both join sides: persist so the
+    # (interpreted HOF) bucket fold runs once per row, not 3x
+    base = base.persist()
+    sizes = base.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__sz"))
+    base = base.join(
+        F.broadcast(sizes.filter(F.col("__sz") <= max_bucket_size).drop("__sz")),
+        "__bucket",
+    )
     a = base.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), "__bucket")
     b = base.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), "__bucket")
     pairs = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))

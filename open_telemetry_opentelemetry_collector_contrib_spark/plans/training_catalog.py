@@ -390,12 +390,25 @@ _NEARDUP_THRESHOLD = 0.9
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF ANN (KMeans quantizer -> nprobe lists); no SQL oracle (MLlib
-    clustering) -> rows-only driver check; recall property-tested in pytest
-    against the exact brute-force twin."""
+    """IVF ANN (KMeans quantizer -> nprobe lists); no SQL oracle for the
+    PRUNED search (MLlib clustering) -> rows-only driver check here, but the
+    machinery is fully oracle-checked by `ann_ivf_fullprobe` below and the
+    recall@k property test in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_ivf(
         emb, _queries_df(spark, sf_dir), k=_ANN_K, num_clusters=8, nprobe=3
+    )
+
+
+def q_ann_ivf_fullprobe(spark, sf_dir):
+    """Metamorphic full oracle for the IVF machinery: probing ALL clusters
+    (nprobe = num_clusters) must reproduce the exact brute-force top-k
+    regardless of what the quantizer learned — every corpus vector is scored
+    exactly once since the clusters partition the corpus. Hash-compared
+    against the brute-force DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(
+        emb, _queries_df(spark, sf_dir), k=_ANN_K, num_clusters=8, nprobe=8
     )
 
 
@@ -418,10 +431,17 @@ def _planted_embeddings(spark, sf_dir):
     return emb.unionByName(dups)
 
 
+_NEARDUP_MAX_BUCKET = 2000
+
+
 def q_embedding_near_dup(spark, sf_dir):
     emb = _planted_embeddings(spark, sf_dir)
     return similarity.embedding_near_dup_pairs(
-        emb, dim=_DIM, threshold=_NEARDUP_THRESHOLD, num_planes=_NUM_PLANES
+        emb,
+        dim=_DIM,
+        threshold=_NEARDUP_THRESHOLD,
+        num_planes=_NUM_PLANES,
+        max_bucket_size=_NEARDUP_MAX_BUCKET,
     )
 
 
@@ -439,8 +459,13 @@ WITH raw AS (
   UNION ALL
   SELECT vec_id + 1000000 AS vec_id, [v[1] + 0.01] || v[2:] AS v
   FROM raw WHERE vec_id % 25 = 0
-), bucketed AS (
+), bucketed0 AS (
   SELECT vec_id, v, ({bucket_terms}) AS bucket FROM base
+), bucketed AS (
+  -- hot-bucket cap twin (max_bucket_size): degenerate buckets are skipped
+  SELECT vec_id, v, bucket FROM (
+    SELECT *, count(*) OVER (PARTITION BY bucket) AS sz FROM bucketed0
+  ) WHERE sz <= {_NEARDUP_MAX_BUCKET}
 ), pairs AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
          list_dot_product(a.v, b.v)
@@ -727,6 +752,7 @@ TRAINING_QUERIES = {
     "ann_cosine_topk": q_ann_bruteforce,
     "ann_cosine_lsh": q_ann_lsh,
     "ann_cosine_ivf": q_ann_ivf,
+    "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
     "frame_sample_plan": q_frame_sample_plan,
@@ -748,6 +774,8 @@ TRAINING_ORACLES = {
     "fingerprint_docs": _fingerprint_oracle(),
     "ann_cosine_topk": O_ANN_BRUTEFORCE,
     "ann_cosine_lsh": _ann_lsh_oracle(),
+    # full-probe IVF == exact brute force (metamorphic identity)
+    "ann_ivf_fullprobe": O_ANN_BRUTEFORCE,
     "embedding_near_dup": _near_dup_oracle(),
     # multimodal: pandas-UDF stub features -> rows-only
     "curation_pipeline": _curation_oracle(),

@@ -97,6 +97,55 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert hits / len(exact) >= 0.6
 
 
+def test_ann_ivf_sample_fit_and_fullprobe_identity(spark):
+    """The quantizer fits on a bounded sample (fit_max), and probing all
+    clusters reproduces the exact brute-force result regardless of what the
+    quantizer learned — clusters partition the corpus, so full probe scores
+    every vector exactly once."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id, r.rank, r.cos_ppb)
+        for r in similarity.cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    # fit_max far below the corpus size forces the sampled-fit path
+    full = {
+        (r.query_id, r.vec_id, r.rank, r.cos_ppb)
+        for r in similarity.cosine_topk_ivf(
+            emb, q, k=5, num_clusters=4, nprobe=4, fit_max=64
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_embedding_near_dup_degenerate_bucket_cap(spark):
+    """1k identical vectors land in one LSH bucket; with max_bucket_size the
+    bucket is skipped (O(cap^2) bound instead of 500k scored pairs), and a
+    disjoint small cluster of near-dups still comes through."""
+    import time
+
+    dim = 8
+    rows = [(i, [1.0] * dim) for i in range(1000)]
+    rows += [(10_000 + i, [-1.0] * (dim - 1) + [float(1 + 0.001 * i)]) for i in range(3)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    t0 = time.perf_counter()
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, dim=dim, threshold=0.9, num_planes=6, max_bucket_size=100
+    ).collect()
+    elapsed = time.perf_counter() - t0
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # the hot bucket (1000 identical) is skipped; the 3-vector cluster survives
+    assert got == {(10_000, 10_001), (10_000, 10_002), (10_001, 10_002)}
+    assert elapsed < 60
+    # uncapped (cap above the bucket size) returns the quadratic mass
+    n_all = similarity.embedding_near_dup_pairs(
+        emb, dim=dim, threshold=0.9, num_planes=6, max_bucket_size=2000
+    ).count()
+    assert n_all == (1000 * 999) // 2 + 3
+
+
 def test_failover_sink(spark, tmp_path):
     from open_telemetry_opentelemetry_collector_contrib_spark.sources import sinks
 
