@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents",
         "dedup_components",
         "ann_ivf_fullprobe",
+        "span_context_transform",
         "transcripts",
         "pipeline_parse",
         "pipeline_enrich",

@@ -204,10 +204,13 @@ def _span_match(p: TailPolicy, spans: DataFrame) -> Column:
         )
         return ts_val.isin(p.values)
     if p.type == "ottl_condition":
-        from ..ottl import LogContext
+        # first-class span grammar (span.kind, status.code enums, end_time
+        # math, IsRootSpan) — `tailsamplingprocessor/internal/sampling/
+        # ottl.go:31-60` parses these with the span context
         from ..ottl.compiler import compile_conditions_or
+        from ..ottl.span_context import SpanContext
 
-        ctx = LogContext(spans)
+        ctx = SpanContext(spans)
         return F.coalesce(
             compile_conditions_or(p.span_conditions, ctx), F.lit(False)
         )

@@ -37,10 +37,22 @@ class StatementGroup:
     context: str = "log"
 
 
+def _context_cls(name: str) -> type:
+    """transformprocessor context table (`config.go:34-60`): trace/span
+    statements get the span path grammar; log/resource/scope collapse to
+    row-level ops on the denormalized frame."""
+    if name in ("span", "trace", "spanevent"):
+        from ..ottl.span_context import SpanContext
+
+        return SpanContext
+    return LogContext
+
+
 def apply_group(df: DataFrame, group: StatementGroup) -> DataFrame:
+    cls = _context_cls(group.context)
     for src in group.statements:
         stmt: Statement = parse_statement(src)
-        ctx = LogContext(df)
+        ctx = cls(df)
         cond = None
         if group.conditions:
             cond = F.coalesce(

@@ -243,8 +243,14 @@ def _compile_math(node: MathOp, ctx: LogContext) -> TypedCol:
     if lt == "duration" and rt == "duration" and node.op in "+-":
         return TypedCol(left.col + right.col if node.op == "+" else left.col - right.col, "duration")
     if lt == "time" and rt == "time" and node.op == "-":
+        # microsecond precision (unix_timestamp truncates sub-second); the
+        # casts absorb TIMESTAMP_NTZ parquet columns (session TZ is UTC)
         return TypedCol(
-            F.unix_timestamp(left.col).cast("double") - F.unix_timestamp(right.col).cast("double"),
+            (
+                F.unix_micros(left.col.cast("timestamp"))
+                - F.unix_micros(right.col.cast("timestamp"))
+            ).cast("double")
+            / F.lit(1e6),
             "duration",
         )
     # unknown operand types: permit native arithmetic (documented divergence)
@@ -329,21 +335,25 @@ def compile_conditions_and(sources: list[str], ctx: LogContext) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def apply_statement(df: DataFrame, src: str) -> DataFrame:
+def apply_statement(df: DataFrame, src: str, ctx_cls: type = LogContext) -> DataFrame:
     from . import functions as fnlib
 
     stmt: Statement = parse_statement(src) if isinstance(src, str) else src
-    ctx = LogContext(df)
+    ctx = ctx_cls(df)
     cond = compile_bool(stmt.where, ctx) if stmt.where is not None else None
     return fnlib.call_editor(df, stmt.editor, ctx, cond)
 
 
 def apply_statements(
-    df: DataFrame, sources: list[str], error_mode: str = "ignore"
+    df: DataFrame,
+    sources: list[str],
+    error_mode: str = "ignore",
+    ctx_cls: type = LogContext,
 ) -> DataFrame:
     """In-order fold; later statements see earlier mutations
     (`pkg/ottl/parser.go:341-356`). error_mode is accepted for config parity;
-    vectorized per-row failures surface as NULLs (ignore/silent semantics)."""
+    vectorized per-row failures surface as NULLs (ignore/silent semantics).
+    ctx_cls selects the transform context (LogContext | SpanContext)."""
     for s in sources:
-        df = apply_statement(df, s)
+        df = apply_statement(df, s, ctx_cls=ctx_cls)
     return df

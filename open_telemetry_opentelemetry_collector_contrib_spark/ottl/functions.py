@@ -35,6 +35,12 @@ for _i, _name in enumerate(("TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL"))
     for _j in (2, 3, 4):
         ENUMS[f"SEVERITY_NUMBER_{_name}{_j}"] = base + _j - 1
 
+# span symbol table (`pkg/ottl/contexts/internal/span.go:28-39`); the
+# reference scopes symbol tables per context, but names never collide
+from .span_context import SPAN_ENUMS as _SPAN_ENUMS  # noqa: E402
+
+ENUMS.update(_SPAN_ENUMS)
+
 
 # windows-1252 vs ISO-8859-1: only 0x80-0x9F differ; the 5 undefined cp1252
 # bytes (81 8D 8F 90 9D) pass through as C1 controls (Java charset behavior)
@@ -490,7 +496,9 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
         if "parent_span_id" not in ctx.schema:
             raise OTTLCompileError("IsRootSpan requires a span frame (parent_span_id)")
         p = F.col("parent_span_id")
-        return TypedCol(p.isNull() | (p == ""), "bool")
+        # pdata's IsEmpty is the all-zero id; the frame stores NULL/'' but
+        # accept the zero hex form too
+        return TypedCol(p.isNull() | (p == "") | (p == "0000000000000000"), "bool")
     if name == "ParseSimplifiedXML":
         from ..functions.xmlfns import parse_simplified_xml
 

@@ -734,7 +734,62 @@ ASOF LEFT JOIN dim d ON e.user_id = d.user_id AND e.ts >= d.ts
 # registry
 # ---------------------------------------------------------------------------
 
+def q_span_context_transform(spark, sf_dir):
+    """transformprocessor trace_statements on the first-class span context
+    (`processor/transformprocessor/config.go:34-60`,
+    `pkg/ottl/contexts/internal/span.go:40-135`): IsRootSpan gating, kind
+    enum rendering, status.code enum comparison, end/start time math — all
+    compiled to one Catalyst projection chain, hash-checked vs DuckDB."""
+    from ..operators.transform import StatementGroup, transform
+
+    spans = _spans(spark, sf_dir).withColumn(
+        "kind", (F.pmod(F.col("turn_idx"), F.lit(5)) + 1).cast("int")
+    )
+    out = transform(
+        spans,
+        [
+            StatementGroup(
+                context="span",
+                statements=[
+                    'set(attributes["entry_root"], span_id) where IsRootSpan()',
+                    'set(attributes["kind_str"], kind.string)',
+                    'set(attributes["code"], status.code)',
+                    'set(attributes["dur_ns"], end_time_unix_nano - start_time_unix_nano)'
+                    " where status.code != STATUS_CODE_UNSET",
+                ],
+            )
+        ],
+    )
+    return out.select(
+        "trace_id",
+        "span_id",
+        "entry_root",
+        "kind_str",
+        F.col("code").cast("bigint").alias("code"),
+        F.col("dur_ns").cast("bigint").alias("dur_ns"),
+    )
+
+
+O_SPAN_CONTEXT_TRANSFORM = (
+    _PREFIX
+    + _SPANS_CTE
+    + """
+SELECT trace_id, span_id,
+  CASE WHEN parent_span_id IS NULL OR parent_span_id = '' THEN span_id END AS entry_root,
+  CASE (turn_idx % 5) + 1
+    WHEN 1 THEN 'SPAN_KIND_INTERNAL' WHEN 2 THEN 'SPAN_KIND_SERVER'
+    WHEN 3 THEN 'SPAN_KIND_CLIENT' WHEN 4 THEN 'SPAN_KIND_PRODUCER'
+    WHEN 5 THEN 'SPAN_KIND_CONSUMER' END AS kind_str,
+  CAST(CASE WHEN status = 'err' THEN 2 WHEN status = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS code,
+  CASE WHEN status IN ('err', 'ok')
+       THEN CAST(coalesce(duration_ms, 0) * 1000000 AS BIGINT) END AS dur_ns
+FROM spans
+"""
+)
+
+
 CATALOG2_QUERIES = {
+    "span_context_transform": q_span_context_transform,
     "redact_attributes": q_redact_attributes,
     "group_by_trace": q_group_by_trace,
     "span_metrics_exemplars": q_span_metrics_exemplars,
@@ -760,6 +815,7 @@ CATALOG2_QUERIES = {
 }
 
 CATALOG2_ORACLES = {
+    "span_context_transform": O_SPAN_CONTEXT_TRANSFORM,
     "redact_attributes": O_REDACT,
     "group_by_trace": O_GROUP_BY_TRACE,
     "span_metrics_exemplars": O_SPAN_EXEMPLARS,
