@@ -55,20 +55,79 @@ def _d2c_fn(
     state.update((running,))
 
 
-def delta_to_cumulative_stream(events: DataFrame, max_stale_ms: int | None = None) -> DataFrame:
+# per-worker stream admission registry: partition id -> admitted stream keys.
+# applyInPandasWithState sees one key at a time, so the max_streams cap
+# (a per-collector memory bound in the reference) is enforced per state
+# PARTITION via this registry. Worker memory, not checkpointed: after a
+# restart it refills from traffic — the bound re-establishes within one
+# batch, erring briefly toward admitting (memory-protection backstop, not an
+# exactness contract; documented divergence).
+_ADMITTED: dict[int, set] = {}
+
+
+def _partition_id() -> int:
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    return tc.partitionId() if tc is not None else 0
+
+
+def _d2c_guarded(max_stale_ms: int | None, max_streams_per_partition: int | None):
+    """Compose the running-sum fn with max_stale TTL eviction and the
+    max_streams admission cap (`deltatocumulativeprocessor/processor.go:88-93`:
+    'if stream new and state capacity reached, reject' -> datapoints of
+    rejected streams DROP; existing streams keep flowing; an evicted (stale)
+    stream frees capacity)."""
+
+    def fn(key, pdf_iter, state: GroupState):
+        adm = None
+        if max_streams_per_partition is not None:
+            adm = _ADMITTED.setdefault(_partition_id(), set())
+        if max_stale_ms and state.hasTimedOut:
+            state.remove()
+            if adm is not None:
+                adm.discard(key)
+            return iter(())
+        if adm is not None:
+            if state.exists:
+                adm.add(key)  # repopulate after worker restart
+            elif key not in adm:
+                if len(adm) >= max_streams_per_partition:
+                    return iter(())  # reject: new stream at capacity
+                adm.add(key)
+        out = list(_d2c_fn(key, pdf_iter, state))
+        if max_stale_ms:
+            state.setTimeoutDuration(max_stale_ms)
+        return iter(out)
+
+    return fn
+
+
+def delta_to_cumulative_stream(
+    events: DataFrame,
+    max_stale_ms: int | None = None,
+    max_streams_per_partition: int | None = None,
+) -> DataFrame:
     """Streaming deltatocumulative over (user_id, event_type) streams.
 
     Input: streaming frame with (user_id, event_type, event_id, vi, ts).
     ``max_stale_ms``: optional state eviction (the reference's max_stale);
     off by default — a ProcessingTime timeout keeps the query ticking, which
     never terminates under availableNow drains.
+    ``max_streams_per_partition``: the reference's ``max_streams`` cap
+    (`config.go:19-31`), sharded: state lives in one store per shuffle
+    partition, so the global cap is max_streams / shuffle partitions.
     """
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if max_stale_ms
         else GroupStateTimeout.NoTimeout
     )
-    fn = _d2c_fn if not max_stale_ms else _d2c_with_timeout(max_stale_ms)
+    fn = (
+        _d2c_fn
+        if not max_stale_ms and max_streams_per_partition is None
+        else _d2c_guarded(max_stale_ms, max_streams_per_partition)
+    )
     return events.groupBy("user_id", "event_type").applyInPandasWithState(
         fn,
         outputStructType=OUT_SCHEMA,
@@ -76,18 +135,6 @@ def delta_to_cumulative_stream(events: DataFrame, max_stale_ms: int | None = Non
         outputMode="append",
         timeoutConf=timeout,
     )
-
-
-def _d2c_with_timeout(max_stale_ms: int):
-    def fn(key, pdf_iter, state: GroupState):
-        if state.hasTimedOut:
-            state.remove()
-            return iter(())
-        out = list(_d2c_fn(key, pdf_iter, state))
-        state.setTimeoutDuration(max_stale_ms)
-        return iter(out)
-
-    return fn
 
 
 # ---------------------------------------------------------------------------

@@ -75,6 +75,93 @@ def test_stateful_d2c_matches_batch(spark, events_vi_dir):
     assert got == exp
 
 
+class _FakeState:
+    """Minimal GroupState double for driver-side parity tests."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _pdf(user_id, etype, n=2):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * n,
+            "event_type": [etype] * n,
+            "event_id": list(range(n)),
+            "vi": [1] * n,
+            "ts": pd.to_datetime(["2024-01-01"] * n),
+        }
+    )
+
+
+def test_max_streams_cap_rejects_new_streams():
+    """Reference parity (`deltatocumulativeprocessor/processor.go:88-93`):
+    a NEW stream is rejected (its datapoints drop) once the tracked-stream
+    count reaches max_streams; EXISTING streams keep flowing; a stale-evicted
+    stream frees capacity for a new one."""
+    stateful._ADMITTED.clear()
+    fn = stateful._d2c_guarded(max_stale_ms=60000, max_streams_per_partition=2)
+
+    s1, s2, s3 = _FakeState(), _FakeState(), _FakeState()
+    assert len(list(fn((1, "a"), iter([_pdf(1, "a")]), s1))) == 1  # admitted
+    assert len(list(fn((2, "a"), iter([_pdf(2, "a")]), s2))) == 1  # admitted
+    # capacity reached: stream 3 rejected, no state written
+    assert list(fn((3, "a"), iter([_pdf(3, "a")]), s3)) == []
+    assert not s3.exists
+    # existing stream 1 still flows and accumulates
+    out = list(fn((1, "a"), iter([_pdf(1, "a")]), s1))
+    assert out[0]["cumulative"].iloc[-1] == 4
+    # stream 2 goes stale -> evicted -> capacity frees for stream 3
+    s2.hasTimedOut = True
+    assert list(fn((2, "a"), iter([]), s2)) == [] and s2.removed
+    assert len(list(fn((3, "a"), iter([_pdf(3, "a")]), s3))) == 1
+    stateful._ADMITTED.clear()
+
+
+def test_stateful_d2c_with_cap_matches_batch(spark, events_vi_dir):
+    """A cap far above the per-partition stream count must not change
+    results (the guarded path is exercised end-to-end in a real query)."""
+    stream = (
+        spark.readStream.schema(SRC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_vi_dir)
+    )
+    out = stateful.delta_to_cumulative_stream(
+        stream, max_streams_per_partition=10_000_000
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("d2c_capped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.sql("select count(*) c from d2c_capped").collect()[0].c
+    assert n == spark.read.parquet(events_vi_dir).count()
+
+
 def test_streaming_tail_sampling_matches_batch(spark, tmp_path):
     """Streaming decision-cache tail sampler == batch decision-then-release
     for monotone policies, even with traces split across micro-batches."""
