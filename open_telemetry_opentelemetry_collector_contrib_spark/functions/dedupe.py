@@ -7,7 +7,7 @@ per row. Scale notes per operator docstring.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -284,15 +284,16 @@ def minhash_lsh_pairs(
     banded = sigs.select(id_col, F.explode(band_arr).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    # banded feeds the size filter AND both join sides; without a persist the
-    # (expensive, interpreted) signature fold would run 4x
-    banded = banded.persist()
-    bucket_sizes = banded.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("__sz")
-    )
-    banded = banded.join(
-        bucket_sizes.filter(F.col("__sz") <= max_bucket_size).drop("__sz"),
-        ["band", "bucket"],
+    # hot-bucket cap as ONE window count on the bucket shuffle (vs the old
+    # groupBy + join-back: an extra aggregate exchange + broadcast per call);
+    # persist the filtered frame so the (expensive, interpreted) signature
+    # fold materializes once and both self-join sides read the cache
+    wsz = Window.partitionBy("band", "bucket")
+    banded = (
+        banded.withColumn("__sz", F.count(F.lit(1)).over(wsz))
+        .filter(F.col("__sz") <= max_bucket_size)
+        .drop("__sz")
+        .persist()
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -415,10 +416,10 @@ def jaccard_verified_pairs_lsh(
     # shingle-frequency cap is computed over the FULL corpus (must mirror
     # the exact path's cap), but the per-doc shingle SETS — the expensive
     # collect_set — are built only for docs that appear in a candidate pair
-    cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .unionByName(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # no distinct: the left_semi join below is insensitive to duplicate keys
+    # on its right side, so deduping here would only add an aggregate exchange
+    cand_ids = cand.select(F.col("id_a").alias(id_col)).unionByName(
+        cand.select(F.col("id_b").alias(id_col))
     )
     sh = shingle_table(df, text_col, id_col, n)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))

@@ -248,13 +248,16 @@ def embedding_near_dup_pairs(
     base = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
-    # base feeds the size filter and both join sides: persist so the
-    # (interpreted HOF) bucket fold runs once per row, not 3x
-    base = base.persist()
-    sizes = base.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__sz"))
-    base = base.join(
-        F.broadcast(sizes.filter(F.col("__sz") <= max_bucket_size).drop("__sz")),
-        "__bucket",
+    # hot-bucket cap as one window count; persist the filtered frame so the
+    # (interpreted HOF) bucket fold runs once and both join sides read cache
+    from pyspark.sql import Window
+
+    wsz = Window.partitionBy("__bucket")
+    base = (
+        base.withColumn("__sz", F.count(F.lit(1)).over(wsz))
+        .filter(F.col("__sz") <= max_bucket_size)
+        .drop("__sz")
+        .persist()
     )
     a = base.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"), "__bucket")
     b = base.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), "__bucket")

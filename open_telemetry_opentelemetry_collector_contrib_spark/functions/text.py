@@ -36,13 +36,17 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_ish_count(text: Column) -> Column:
-    """Subword-piece count via the BPE-ish regex (upper bound on BPE tokens)."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0)).cast("bigint")
+    """Subword-piece count via the BPE-ish regex (upper bound on BPE tokens).
+
+    regexp_count scans without materializing the match array (same count as
+    size(regexp_extract_all(...)) but no per-row allocation and far smaller
+    generated code)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_RE)).cast("bigint")
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
-    return F.size(
-        F.regexp_extract_all(F.lower(text), F.lit(_stopword_pattern(STOPWORDS[lang])))
+    return F.regexp_count(
+        F.lower(text), F.lit(_stopword_pattern(STOPWORDS[lang]))
     ).cast("bigint")
 
 
@@ -52,13 +56,26 @@ def lang_id(text: Column) -> Column:
     The reference has no language ID; this mirrors the n-gram/wordlist
     heuristics of public LID tools, restricted to deterministic Column ops.
     Ties break by language-code order (deterministic).
+
+    The per-language hit counts are bound ONCE via a higher-order-function
+    lambda: Catalyst's CollapseProject would otherwise inline each regex
+    scan into every comparison that references it (~3x work and ~3x
+    generated code; see README "Scale design" on the inlining blowup).
     """
-    scores = [(lang, stopword_hits(text, lang)) for lang in sorted(STOPWORDS)]
-    best_score = F.greatest(*[s for _, s in scores])
-    pick = F.coalesce(
-        *[F.when(s == best_score, F.lit(lang)) for lang, s in scores]
-    )
-    return F.when(best_score > 0, pick).otherwise(F.lit("und"))
+    langs = sorted(STOPWORDS)
+    hits = F.array(*[stopword_hits(text, lang) for lang in langs])
+
+    def pick(a: Column) -> Column:
+        best = F.array_max(a)
+        choice = F.coalesce(
+            *[
+                F.when(F.element_at(a, i + 1) == best, F.lit(lang))
+                for i, lang in enumerate(langs)
+            ]
+        )
+        return F.when(best > 0, choice).otherwise(F.lit("und"))
+
+    return F.transform(F.array(hits), pick)[0]
 
 
 def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -69,7 +86,7 @@ def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     text = F.col(text_col)
     n_chars = F.length(text).cast("bigint")
     n_tokens = token_count(text)
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0)).cast("bigint")
+    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]")).cast("bigint")
     n_stop = stopword_hits(text, "en")
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))

@@ -642,10 +642,22 @@ _CUR_JACCARD = 0.8
 
 def q_curation_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    # a single-file source under-parallelizes the regex-heavy scoring and
-    # the minhash UDF (everything downstream of the scan runs in one task);
-    # spread it across the cluster once up front
-    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    # a single-FILE source under-parallelizes the regex-heavy scoring and
+    # the minhash UDF — but only when there is real work to spread: below
+    # ~64 MB the shuffle + extra stage cost more than the compute they
+    # parallelize (the whole pipeline is fixed-cost-dominated there), so the
+    # repartition kicks in only for large single-file inputs. File sizes come
+    # from driver-side metadata — no job.
+    import os as _os
+
+    in_bytes = sum(
+        _os.path.getsize(p.removeprefix("file:")) if p.startswith("file:") else 0
+        for p in docs.inputFiles()
+    )
+    if (
+        in_bytes > 64 * 1024 * 1024
+        and docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    ):
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
     scored = text_fns.quality_signals(docs).withColumn(
         "lang_pred", text_fns.lang_id(F.col("text"))
@@ -653,19 +665,29 @@ def q_curation_pipeline(spark, sf_dir):
     kept = scored.filter(
         (F.col("quality_ppm") >= _CUR_QUALITY_MIN) & (F.col("lang_pred") == "en")
     )
-    keepers = dedupe.exact_dedup(kept).select(
-        F.col("keeper_id").alias("doc_id")
+    # exact dedup inline: keeper = min doc_id per md5(text) — same semantics
+    # as exact_dedup's groupBy + semi-join but ONE window shuffle on the
+    # digest, and the (regex-heavy) quality/lang scoring stays a single
+    # lineage into the one persisted frame below instead of running twice
+    # (once into the dedup branch, once into the join input)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    kept = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        # single pipeline-level persist scope: feeds LSH signatures, shingle
+        # freq, candidate sets and the final anti-join
+        .persist()
     )
-    # kept feeds exact-dedup, LSH candidates, shingle freq, candidate sets
-    # and the final anti-join — persist or the quality/lang scoring (4x
-    # stopword regex scans) recomputes per consumer
-    kept = kept.join(keepers, "doc_id", "left_semi").persist()
     # scale path: MinHash-LSH candidates -> exact Jaccard verify on the
     # candidates only (no full shingle self-join on the kept set); the
     # DuckDB oracle below remains the exact all-pairs program
+    # no distinct on near: left_anti is insensitive to right-side duplicates
     near = dedupe.jaccard_verified_pairs_lsh(
         kept, n=_JAC_N, threshold=_CUR_JACCARD, max_shingle_freq=_JAC_MAXFREQ
-    ).select(F.col("id_b").alias("doc_id")).distinct()
+    ).select(F.col("id_b").alias("doc_id"))
     survivors = kept.join(near, "doc_id", "left_anti")
     return survivors.select("doc_id")
 

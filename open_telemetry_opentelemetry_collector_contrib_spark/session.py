@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # persisted (cached) plans lose AQE partition coalescing by default;
+        # without this, every shuffle under a .persist() runs at the full
+        # static partition count — pure task-launch overhead at small inputs
+        # and a lost re-plan opportunity at scale
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
