@@ -8,8 +8,9 @@ Sections:
 - **scaling evidence** (north rule: efficiency >= 0.8 from N to 4N
   executors): the same e2e job over the same scaled-up input at local[4] and
   local[16] (see run_scaling for why not 8/32), fresh subprocess/JVM per
-  trial, trials interleaved across rounds; efficiency =
-  (tps_high / tps_low) / (cores_high / cores_low) from the best round.
+  trial, trials interleaved across rounds; headline efficiency =
+  (tps_high / tps_low) / (cores_high / cores_low), MEDIAN of the plausible
+  rounds (best round + global-min pair published as diagnostics).
 
 The scaled input is a deterministic replication of the sf transcripts
 (conv_id gets a replica suffix -> more conversations, same shape), sized by
@@ -150,12 +151,16 @@ def run_scaling(sf_dir: str, rep: int) -> dict:
     Trials are INTERLEAVED (low, high, low, high, ...) across rounds so an
     external-tenant load spike degrades both levels instead of silently
     corrupting one block (a low-then-high schedule read 0.57 efficiency
-    under a spike that a clean host measures at ~0.85)."""
+    under a spike that a clean host measures at ~0.85).
+
+    Estimator (fixed a-priori, NOT conditioned on clearing the 0.8 bar):
+    run exactly SCALE_ROUNDS rounds; headline efficiency = MEDIAN of the
+    plausible per-round ratios (ratios above the 1.15 cap mean the LOW level
+    was load-crushed — super-linear scaling beyond cache effects is not
+    real, so those rounds are excluded). The best round and the global-min
+    pair are published as diagnostics, not selected from."""
     rounds: list[dict] = []
-    max_rounds = SCALE_ROUNDS + 2  # adaptive: retry while the bar is missed
-    while len(rounds) < SCALE_ROUNDS or (
-        len(rounds) < max_rounds and max(r["eff"] for r in rounds) < 0.8
-    ):
+    for _ in range(SCALE_ROUNDS):
         rnd = {}
         for cores in (SCALE_LOW, SCALE_HIGH):
             proc = subprocess.run(
@@ -171,22 +176,23 @@ def run_scaling(sf_dir: str, rep: int) -> dict:
             rnd[f"load1_{cores}"] = rec.get("load1")
         rnd["eff"] = (rnd[SCALE_LOW] / rnd[SCALE_HIGH]) / (SCALE_HIGH / SCALE_LOW)
         rounds.append(rnd)
-    # Headline efficiency: the best PLAUSIBLE estimate among
-    #  (a) per-round ratios (levels back-to-back see correlated load), and
-    #  (b) the global-min pair (min sec per level across rounds, each
-    #      approximating its uncontended time).
-    # A round ratio far above 1 means the LOW level was load-crushed — that
-    # round proves nothing, so readings above the plausibility cap are
-    # excluded (super-linear scaling beyond cache effects is not real).
     cap = 1.15
     gmin_low = min(r[SCALE_LOW] for r in rounds)
     gmin_high = min(r[SCALE_HIGH] for r in rounds)
     gmin_eff = (gmin_low / gmin_high) / (SCALE_HIGH / SCALE_LOW)
-    candidates = [r for r in rounds if r["eff"] <= cap]
-    best = max(candidates, key=lambda r: r["eff"]) if candidates else None
-    if best is not None and best["eff"] >= gmin_eff:
-        out = dict(best)
-    else:
+    plausible = sorted(r["eff"] for r in rounds if r["eff"] <= cap)
+    if plausible:
+        eff_median = plausible[len(plausible) // 2] if len(plausible) % 2 else (
+            plausible[len(plausible) // 2 - 1] + plausible[len(plausible) // 2]
+        ) / 2
+        # the median round's raw seconds feed tps_low/high reporting
+        med_round = min(
+            (r for r in rounds if r["eff"] <= cap),
+            key=lambda r: abs(r["eff"] - eff_median),
+        )
+        out = dict(med_round)
+        out["eff"] = eff_median
+    else:  # every round implausible: fall back to the global-min pair
         out = {
             SCALE_LOW: gmin_low,
             SCALE_HIGH: gmin_high,
@@ -194,6 +200,11 @@ def run_scaling(sf_dir: str, rep: int) -> dict:
             f"load1_{SCALE_LOW}": min(r[f"load1_{SCALE_LOW}"] for r in rounds),
             f"load1_{SCALE_HIGH}": min(r[f"load1_{SCALE_HIGH}"] for r in rounds),
         }
+    out["eff_median"] = round(out["eff"], 3)
+    out["eff_best"] = round(
+        max((r["eff"] for r in rounds if r["eff"] <= cap), default=gmin_eff), 3
+    )
+    out["eff_gmin"] = round(gmin_eff, 3)
     out["rounds"] = [
         {"low": r[SCALE_LOW], "high": r[SCALE_HIGH], "eff": round(r["eff"], 3)}
         for r in rounds
@@ -255,6 +266,9 @@ def main() -> None:
                     "sec_high": times[SCALE_HIGH],
                     "tps_high": round(tps_high, 1),
                     "efficiency": round(efficiency, 3),
+                    "eff_median": times.get("eff_median"),
+                    "eff_best": times.get("eff_best"),
+                    "eff_gmin": times.get("eff_gmin"),
                     "rounds": times.get("rounds"),
                     "ext_load1": {
                         "low": times.get(f"load1_{SCALE_LOW}"),
