@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components",
         "ann_ivf_fullprobe",
         "span_context_transform",
+        "metric_context_transform",
         "transcripts",
         "pipeline_parse",
         "pipeline_enrich",

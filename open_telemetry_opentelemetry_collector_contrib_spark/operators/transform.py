@@ -39,12 +39,17 @@ class StatementGroup:
 
 def _context_cls(name: str) -> type:
     """transformprocessor context table (`config.go:34-60`): trace/span
-    statements get the span path grammar; log/resource/scope collapse to
-    row-level ops on the denormalized frame."""
+    statements get the span path grammar, metric/datapoint statements the
+    metric path grammar; log/resource/scope collapse to row-level ops on
+    the denormalized frame."""
     if name in ("span", "trace", "spanevent"):
         from ..ottl.span_context import SpanContext
 
         return SpanContext
+    if name in ("metric", "datapoint"):
+        from ..ottl.metric_context import DataPointContext
+
+        return DataPointContext
     return LogContext
 
 

@@ -22,4 +22,5 @@ from .compiler import (  # noqa: F401
     compile_value,
 )
 from .parser import parse_condition, parse_statement  # noqa: F401
+from .metric_context import DataPointContext, MetricContext  # noqa: F401
 from .span_context import SpanContext  # noqa: F401

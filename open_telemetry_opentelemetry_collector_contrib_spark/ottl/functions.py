@@ -35,11 +35,14 @@ for _i, _name in enumerate(("TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL"))
     for _j in (2, 3, 4):
         ENUMS[f"SEVERITY_NUMBER_{_name}{_j}"] = base + _j - 1
 
-# span symbol table (`pkg/ottl/contexts/internal/span.go:28-39`); the
-# reference scopes symbol tables per context, but names never collide
+# span + metric symbol tables (`pkg/ottl/contexts/internal/span.go:28-39`,
+# `internal/metric.go:18-28`); the reference scopes symbol tables per
+# context, but names never collide
+from .metric_context import METRIC_ENUMS as _METRIC_ENUMS  # noqa: E402
 from .span_context import SPAN_ENUMS as _SPAN_ENUMS  # noqa: E402
 
 ENUMS.update(_SPAN_ENUMS)
+ENUMS.update(_METRIC_ENUMS)
 
 
 # windows-1252 vs ISO-8859-1: only 0x80-0x9F differ; the 5 undefined cp1252

@@ -788,8 +788,71 @@ FROM spans
 )
 
 
+def q_metric_context_transform(spark, sf_dir):
+    """transformprocessor metric_statements on the first-class
+    metric/datapoint context (`pkg/ottl/contexts/internal/metric.go:35-47`,
+    `ottldatapoint/datapoint.go:189-259`): metric.name rename gated on
+    METRIC_DATA_TYPE enums, unit rewrite, gauge value scaling,
+    temporality surfaced as an attribute — one Catalyst projection chain,
+    hash-checked vs DuckDB."""
+    from ..operators.transform import StatementGroup, transform
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # deterministic datapoint frame: counters (click/purchase) are
+    # monotonic delta SUMs, everything else a GAUGE
+    is_sum = F.col("event_type").isin("click", "purchase")
+    dp = ev.select(
+        "event_id",
+        F.col("event_type").alias("metric_name"),
+        F.lit("1").alias("unit"),
+        F.when(is_sum, F.lit(2)).otherwise(F.lit(1)).alias("metric_type"),
+        F.when(is_sum, F.lit(1)).otherwise(F.lit(0)).alias("temporality"),
+        is_sum.alias("is_monotonic"),
+        "ts",
+        F.col("value").alias("vd"),
+    )
+    out = transform(
+        dp,
+        [
+            StatementGroup(
+                context="metric",
+                statements=[
+                    'set(metric.name, Concat(["app.", metric.name], ""))'
+                    " where metric.type == METRIC_DATA_TYPE_SUM",
+                    'set(metric.unit, "ms")'
+                    " where metric.type == METRIC_DATA_TYPE_GAUGE",
+                    "set(vd, value_double * 1000.0)"
+                    " where metric.type == METRIC_DATA_TYPE_GAUGE",
+                    'set(attributes["temp"], metric.aggregation_temporality)',
+                ],
+            )
+        ],
+    )
+    return out.select(
+        "event_id",
+        "metric_name",
+        "unit",
+        F.col("temp").cast("bigint").alias("temp"),
+        F.floor(F.col("vd") * 1000).cast("bigint").alias("vd_milli"),
+    )
+
+
+O_METRIC_CONTEXT_TRANSFORM = """
+SELECT event_id,
+  CASE WHEN event_type IN ('click','purchase') THEN 'app.' || event_type
+       ELSE event_type END AS metric_name,
+  CASE WHEN event_type IN ('click','purchase') THEN '1' ELSE 'ms' END AS unit,
+  CAST(CASE WHEN event_type IN ('click','purchase') THEN 1 ELSE 0 END AS BIGINT) AS temp,
+  CAST(floor(CASE WHEN event_type IN ('click','purchase') THEN value
+                  ELSE value * 1000.0 END * 1000) AS BIGINT) AS vd_milli
+FROM events
+"""
+
+
 CATALOG2_QUERIES = {
     "span_context_transform": q_span_context_transform,
+    "metric_context_transform": q_metric_context_transform,
     "redact_attributes": q_redact_attributes,
     "group_by_trace": q_group_by_trace,
     "span_metrics_exemplars": q_span_metrics_exemplars,
@@ -816,6 +879,7 @@ CATALOG2_QUERIES = {
 
 CATALOG2_ORACLES = {
     "span_context_transform": O_SPAN_CONTEXT_TRANSFORM,
+    "metric_context_transform": O_METRIC_CONTEXT_TRANSFORM,
     "redact_attributes": O_REDACT,
     "group_by_trace": O_GROUP_BY_TRACE,
     "span_metrics_exemplars": O_SPAN_EXEMPLARS,
