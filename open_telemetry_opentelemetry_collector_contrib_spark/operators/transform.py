@@ -42,10 +42,14 @@ def _context_cls(name: str) -> type:
     statements get the span path grammar, metric/datapoint statements the
     metric path grammar; log/resource/scope collapse to row-level ops on
     the denormalized frame."""
-    if name in ("span", "trace", "spanevent"):
+    if name in ("span", "trace"):
         from ..ottl.span_context import SpanContext
 
         return SpanContext
+    if name == "spanevent":
+        from ..ottl.span_context import SpanEventContext
+
+        return SpanEventContext
     if name in ("metric", "datapoint"):
         from ..ottl.metric_context import DataPointContext
 

@@ -23,4 +23,4 @@ from .compiler import (  # noqa: F401
 )
 from .parser import parse_condition, parse_statement  # noqa: F401
 from .metric_context import DataPointContext, MetricContext  # noqa: F401
-from .span_context import SpanContext  # noqa: F401
+from .span_context import SpanContext, SpanEventContext  # noqa: F401

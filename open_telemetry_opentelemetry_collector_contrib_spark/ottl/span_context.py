@@ -172,3 +172,39 @@ class SpanContext(LogContext):
         return super().target_kind(path)
 
 
+class SpanEventContext(SpanContext):
+    """Span-event context (`pkg/ottl/contexts/ottlspanevent/
+    span_events.go:157-179`): event-level ``name``/``time``/``attributes``
+    plus parent-span access via ``span.<path>`` — on the denormalized frame
+    the event columns are ``event_name``/``event_ts`` next to the span
+    columns, and ``span.name`` etc. resolve through the span grammar."""
+
+    BUILTIN = {
+        ("name",): ("event_name", "string"),
+        ("time",): ("event_ts", "time"),
+    }
+
+    def _span_view(self) -> SpanContext:
+        # delegate span.<path> through plain span grammar (NOT this class's
+        # event-level name/time overrides)
+        view = SpanContext.__new__(SpanContext)
+        view.schema = self.schema
+        return view
+
+    def resolve(self, path: Path) -> TypedCol:
+        segs, keys = path.segments, path.keys
+        if segs and segs[0] == "span":
+            if len(segs) == 1:
+                raise OTTLCompileError("bare span path needs a field")
+            return self._span_view().resolve(Path(tuple(segs[1:]), keys))
+        if segs == ("time_unix_nano",):
+            return TypedCol(self._micros(F.col("event_ts")) * 1000, "int")
+        return super().resolve(path)
+
+    def target_kind(self, path: Path) -> tuple[str, str]:
+        segs, keys = path.segments, path.keys
+        if segs and segs[0] == "span" and len(segs) > 1:
+            return self._span_view().target_kind(Path(tuple(segs[1:]), keys))
+        return super().target_kind(path)
+
+

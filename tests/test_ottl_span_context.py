@@ -139,6 +139,43 @@ def test_unknown_span_path_rejected(spans):
         compile_condition('trace_id.hex == "x"', ctx)
 
 
+def test_spanevent_context_parent_access(spark):
+    """ottlspanevent: event name/time are event-level; span.<path> reaches
+    the parent span (`span_events.go:157-179`)."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.ottl import (
+        SpanEventContext,
+    )
+
+    rows = [
+        ("t1", "t1#0", None, "operationA", 2, "err", 500,
+         datetime(2024, 3, 1, 12, 0, 0), "exception",
+         datetime(2024, 3, 1, 12, 0, 0, 250000)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "trace_id string, span_id string, parent_span_id string, name string, "
+        "kind int, status string, duration_ms long, ts timestamp, "
+        "event_name string, event_ts timestamp",
+    )
+    out = apply_statement(
+        df,
+        'set(attributes["ev"], name) where span.status.code == STATUS_CODE_ERROR',
+        ctx_cls=SpanEventContext,
+    ).collect()[0]
+    assert out.ev == "exception"
+    ctx = SpanEventContext(df)
+    cond = compile_condition('span.name == "operationA" and name == "exception"', ctx)
+    assert df.filter(cond).count() == 1
+    # event time, not span time
+    out2 = apply_statement(
+        df, 'set(attributes["tn"], time_unix_nano)', ctx_cls=SpanEventContext
+    ).collect()[0]
+    span_start = int(
+        datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc).timestamp() * 1e9
+    )
+    assert out2.tn == span_start + 250_000_000
+
+
 def test_is_root_span_requires_span_frame(spark):
     df = spark.createDataFrame([("a",)], ["text"])
     with pytest.raises(OTTLCompileError, match="span frame"):
