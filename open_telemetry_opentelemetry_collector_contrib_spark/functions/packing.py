@@ -1,0 +1,136 @@
+"""Training-batch assembly operators: sequence packing + data mixing.
+
+Standard large-scale pretraining pipeline stages with no reference-collector
+analog (they sit downstream of curation):
+
+- ``pack_sequences``: greedy sequential bin packing of documents into
+  fixed-token-budget training sequences (sample packing). Deterministic:
+  documents are sharded by hash, ordered by id within a shard, and filled
+  greedily — each doc goes into the current bin unless it would overflow the
+  budget, else opens a new bin (an over-budget single doc still occupies one
+  bin of its own).
+- ``stratified_sample``: per-stratum deterministic sampling for data-mixture
+  weighting (e.g. 100% wiki, 30% web) via the engine-portable md5-48 hash,
+  so the exact selection is reproducible in any engine (and DuckDB can
+  oracle it).
+
+Scale design: packing is embarrassingly parallel across shards — ONE
+shuffle (groupBy shard), O(n) per shard inside an Arrow-batched
+applyInPandas, bins globally addressed as (shard, bin). Shard count is the
+parallelism knob: 100 TB / shards must fit a task; at 64k shards each task
+packs ~1.5 GB. Mixing is a pure Column filter — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dedupe import md5_48
+from .text import token_count
+
+PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("bin", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+    ]
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequential packing: (doc_id, shard, bin, n_tokens).
+
+    Bins are local to a shard; (shard, bin) is the training-sequence id.
+    The greedy fill is inherently sequential per shard, so it runs as an
+    Arrow-batched applyInPandas per shard group — the only shuffle is the
+    groupBy on the shard key.
+    """
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        bins = []
+        cur_bin, fill = -1, 0
+        for t in pdf["n_tokens"]:
+            if cur_bin >= 0 and fill + t <= budget:
+                fill += t
+            else:
+                cur_bin += 1
+                fill = t
+            bins.append(cur_bin)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "shard": pdf["shard"],
+                "bin": pd.Series(bins, index=pdf.index, dtype="int64"),
+                "n_tokens": pdf["n_tokens"],
+            }
+        )
+
+    prepared = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(shards)).cast("int").alias("shard"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    return prepared.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)
+
+
+def pack_oracle_sql(budget: int, shards: int = 16, table: str = "documents") -> str:
+    """DuckDB twin: the same greedy fill as a recursive closure per shard.
+
+    (WITH RECURSIVE must lead the WITH clause in DuckDB.)
+    """
+    return rf"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, CAST(doc_id % {shards} AS INT) AS shard,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {shards} ORDER BY doc_id) AS rn
+  FROM {table}
+),
+pack AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN p.fill + d.n_tokens <= {budget} THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + d.n_tokens <= {budget} THEN p.fill + d.n_tokens ELSE d.n_tokens END
+  FROM docs d JOIN pack p ON d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT doc_id, shard, bin, n_tokens FROM pack
+"""
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: str = "mix42",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling for data-mixture weighting.
+
+    Keep row iff md5_48(seed || id) % 10^6 < rate * 10^6 for its stratum —
+    engine-portable (md5 arithmetic reproduces bit-exactly in DuckDB), no
+    RNG state, stable under re-runs and resumes. A pure Column filter: no
+    shuffle, pushes into the scan stage.
+    """
+    bucket = F.pmod(
+        md5_48(F.concat(F.lit(seed), F.col(id_col).cast("string"))), F.lit(1_000_000)
+    )
+    rate = F.lit(int(default_rate * 1_000_000))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(int(v * 1_000_000))).otherwise(rate)
+    return df.filter(bucket < rate)

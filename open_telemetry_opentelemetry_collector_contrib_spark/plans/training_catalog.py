@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions import dedupe, multimodal, similarity, text as text_fns
+from ..functions import dedupe, multimodal, packing, similarity, text as text_fns
 from ..sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -762,7 +762,51 @@ SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# training-batch assembly: sequence packing + data mixing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+_PACK_SHARDS = 16
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy token-budget sequence packing (sample packing): one shuffle on
+    the shard key, O(n) greedy fill per shard in Arrow-batched
+    applyInPandas; oracle = the same greedy closure as a DuckDB recursive
+    CTE per shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.pack_sequences(docs, budget=_PACK_BUDGET, shards=_PACK_SHARDS)
+
+
+def q_mix_sample_docs(spark, sf_dir):
+    """Deterministic stratified sampling for data-mixture weighting: keep
+    fraction r(source) of each source via the portable md5-48 hash — a pure
+    Column filter (no shuffle, pushes into the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = packing.stratified_sample(
+        docs, "source", _MIX_RATES, default_rate=_MIX_DEFAULT
+    )
+    return out.select("doc_id", "source")
+
+
+def _mix_sample_oracle() -> str:
+    hx = _HX.format(s="'mix42' || CAST(doc_id AS VARCHAR)")
+    whens = " ".join(
+        f"WHEN source = '{k}' THEN {int(v * 1_000_000)}"
+        for k, v in sorted(_MIX_RATES.items())
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE ({hx}) % 1000000 < (CASE {whens} ELSE {int(_MIX_DEFAULT * 1_000_000)} END)
+"""
+
+
 TRAINING_QUERIES = {
+    "pack_sequences": q_pack_sequences,
+    "mix_sample_docs": q_mix_sample_docs,
     "exact_dedup": q_exact_dedup,
     "doc_quality": q_doc_quality,
     "token_counts": q_token_counts,
@@ -786,6 +830,8 @@ TRAINING_QUERIES = {
 }
 
 TRAINING_ORACLES = {
+    "pack_sequences": packing.pack_oracle_sql(_PACK_BUDGET, _PACK_SHARDS),
+    "mix_sample_docs": _mix_sample_oracle(),
     "exact_dedup": O_EXACT_DEDUP,
     "doc_quality": O_DOC_QUALITY,
     "token_counts": O_TOKEN_COUNTS,

@@ -227,3 +227,44 @@ def test_chunk_documents_overlap_and_coverage(spark):
     assert c1[-1].chunk_text.split()[-1] == "w99"  # full coverage
     c2 = by_doc[2]
     assert len(c2) == 1 and c2[0].chunk_text == "short doc"
+
+
+def test_pack_sequences_invariants(spark):
+    """Greedy packing: every doc assigned exactly once; bin fill never
+    exceeds the budget unless a single doc alone does; bins are contiguous
+    per shard; deterministic across runs."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.functions import packing
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = packing.pack_sequences(docs, budget=128, shards=4).collect()
+    assert len(out) == docs.count()
+    fills = {}
+    for r in out:
+        fills.setdefault((r.shard, r.bin), []).append(r.n_tokens)
+    for (shard, b), toks in fills.items():
+        assert sum(toks) <= 128 or len(toks) == 1
+    # contiguous bins per shard
+    for shard in {r.shard for r in out}:
+        bins = sorted({r.bin for r in out if r.shard == shard})
+        assert bins == list(range(len(bins)))
+    out2 = packing.pack_sequences(docs, budget=128, shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_stratified_sample_rates(spark):
+    """Mixture rates hold approximately per stratum and exactly
+    deterministically (same selection every run)."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.functions import packing
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rates = {"src0": 1.0, "src1": 0.4}
+    out = packing.stratified_sample(docs, "source", rates, default_rate=0.0)
+    got = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n0 = docs.filter(F.col("source") == "src0").count()
+    assert got.get("src0") == n0  # rate 1.0 keeps everything
+    assert set(got) == {"src0", "src1"}  # default 0.0 drops the rest
+    n1 = docs.filter(F.col("source") == "src1").count()
+    assert 0.15 <= got["src1"] / n1 <= 0.7  # 25 docs/stratum: wide tolerance
+    assert out.count() == packing.stratified_sample(
+        docs, "source", rates, default_rate=0.0
+    ).count()
