@@ -37,6 +37,7 @@ def write_table(
     mode: str = "overwrite",
     group_by: list[str] | None = None,
     fmt: str = "auto",
+    compression: str | None = None,
 ) -> None:
     """Write to an Iceberg table (``catalog.db.table`` target) when
     available, else a parquet directory (path target).
@@ -46,6 +47,10 @@ def write_table(
     in ``df`` (one dynamic-overwrite snapshot), so re-running a chunk after a
     crash-before-lineage-commit replaces its rows instead of appending
     duplicates. First write creates the table partitioned by ``group_by``.
+
+    ``compression`` is the fileexporter ``compression`` analog
+    (`exporter/fileexporter/config.go:45-55`): the parquet codec
+    (snappy/zstd/gzip/none) on the file path, a write property on Iceberg.
     """
     spark = df.sparkSession
     use_iceberg = fmt == "iceberg" or (
@@ -66,6 +71,8 @@ def write_table(
                 writer.create()
             return
         writer = df.writeTo(target)
+        if compression:
+            writer = writer.tableProperty("write.parquet.compression-codec", compression)
         if group_by:
             from pyspark.sql import functions as F
 
@@ -78,11 +85,15 @@ def write_table(
     if mode == "overwrite_partitions":
         # parquet analog: dynamic partition overwrite on the group_by cols
         w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        if compression:
+            w = w.option("compression", compression)
         if group_by:
             w = w.partitionBy(*group_by)
         w.parquet(target)
         return
     w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
     if group_by:
         w = w.partitionBy(*group_by)
     w.parquet(target)

@@ -196,6 +196,21 @@ def test_write_table_iceberg_overwrite_partitions_idempotent():
         sinks.write_table(df3, "cat.db.t", mode="overwrite_partitions", fmt="iceberg")
 
 
+def test_write_table_compression(spark, tmp_path):
+    """fileexporter `compression` analog (config.go:45-55): codec reaches
+    the parquet files on the file path."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.sources import sinks
+
+    df = spark.range(100).withColumnRenamed("id", "v")
+    dst = str(tmp_path / "zstd_out")
+    sinks.write_table(df, dst, compression="zstd")
+    import os as _os
+
+    files = [f for f in _os.listdir(dst) if f.endswith(".parquet")]
+    assert files and all(".zstd." in f for f in files)
+    assert spark.read.parquet(dst).count() == 100
+
+
 def test_runner_iceberg_format_path(spark, tmp_path, monkeypatch):
     """format='iceberg' config: every sink + counts write flows through
     write_table with per-sink table targets and append (snapshot-per-chunk)
