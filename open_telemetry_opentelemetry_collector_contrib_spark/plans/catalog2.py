@@ -850,9 +850,67 @@ FROM events
 """
 
 
+def q_spanevent_context_transform(spark, sf_dir):
+    """spanevent-context statements (`ottlspanevent/span_events.go:157-179`):
+    every error span emits an 'exception' event at span end; event-level
+    name/time paths plus span.* parent access in one projection chain."""
+    from ..operators.transform import StatementGroup, transform
+
+    spans = _spans(spark, sf_dir)
+    events = spans.filter(F.col("status") == "err").select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "service",
+        "status",
+        "duration_ms",
+        "ts",
+        F.lit("exception").alias("event_name"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.coalesce(F.col("duration_ms"), F.lit(0)) * 1000
+        ).alias("event_ts"),
+    )
+    out = transform(
+        events,
+        [
+            StatementGroup(
+                context="spanevent",
+                statements=[
+                    'set(attributes["ev"], name)',
+                    'set(attributes["parent_svc"], span.status.message)',
+                    'set(attributes["root"], span.span_id.string) where IsRootSpan()',
+                    'set(attributes["tn"], time_unix_nano)',
+                ],
+            )
+        ],
+    )
+    return out.select(
+        "trace_id",
+        "span_id",
+        "ev",
+        "parent_svc",
+        "root",
+        F.col("tn").cast("bigint").alias("tn"),
+    )
+
+
+O_SPANEVENT_CONTEXT = (
+    _PREFIX
+    + _SPANS_CTE
+    + """
+SELECT trace_id, span_id, 'exception' AS ev, status AS parent_svc,
+  CASE WHEN parent_span_id IS NULL OR parent_span_id = '' THEN span_id END AS root,
+  CAST((epoch_us(ts) + coalesce(duration_ms, 0) * 1000) * 1000 AS BIGINT) AS tn
+FROM spans WHERE status = 'err'
+"""
+)
+
+
 CATALOG2_QUERIES = {
     "span_context_transform": q_span_context_transform,
     "metric_context_transform": q_metric_context_transform,
+    "spanevent_context_transform": q_spanevent_context_transform,
     "redact_attributes": q_redact_attributes,
     "group_by_trace": q_group_by_trace,
     "span_metrics_exemplars": q_span_metrics_exemplars,
@@ -880,6 +938,7 @@ CATALOG2_QUERIES = {
 CATALOG2_ORACLES = {
     "span_context_transform": O_SPAN_CONTEXT_TRANSFORM,
     "metric_context_transform": O_METRIC_CONTEXT_TRANSFORM,
+    "spanevent_context_transform": O_SPANEVENT_CONTEXT,
     "redact_attributes": O_REDACT,
     "group_by_trace": O_GROUP_BY_TRACE,
     "span_metrics_exemplars": O_SPAN_EXEMPLARS,

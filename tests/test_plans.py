@@ -167,3 +167,36 @@ def test_decontamination_broadcasts_benchmark_side(spark, tmp_path):
     tree = explain(out).split("\n\n")[0]
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_bucketed_table_aggregation_is_exchange_free(spark, tmp_path):
+    """The 100 TB storage layout claim: a table bucketed by conv_id
+    satisfies the distribution requirement of any aggregate whose grouping
+    keys contain conv_id — the whole parse->...->count plan runs without a
+    single shuffle Exchange (bench.py stores the scaled input this way; on
+    a real cluster it is an Iceberg bucket(conv_id) partition transform)."""
+    path = str(tmp_path / "bkt")
+    name = "t_bkt_plan_test"
+    df = spark.createDataFrame(
+        [(f"c{i%50}", i, f"role{i%3}", i % 7) for i in range(2000)],
+        ["conv_id", "turn_idx", "role", "v"],
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.repartition(8, F.col("conv_id"))
+        .write.bucketBy(8, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    t = spark.table(name)
+    agg = t.groupBy("conv_id", "role").agg(F.count("*").alias("n"))
+    tree = explain(agg).split("\n\n")[0]
+    assert "Exchange" not in tree
+    # control: the same files read WITHOUT bucket metadata must shuffle
+    plain = spark.read.parquet(path).groupBy("conv_id", "role").agg(
+        F.count("*").alias("n")
+    )
+    assert "Exchange" in explain(plain).split("\n\n")[0]
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
