@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_fullprobe",
         "span_context_transform",
         "metric_context_transform",
+        "spanevent_context_transform",
         "pack_sequences",
         "mix_sample_docs",
         "transcripts",

@@ -27,13 +27,22 @@ from ..ottl import LogContext
 from ..ottl.compiler import compile_conditions_or
 
 
-def filter_ottl(df: DataFrame, drop_conditions: list[str]) -> DataFrame:
+def filter_ottl(
+    df: DataFrame, drop_conditions: list[str], context: str = "log"
+) -> DataFrame:
     """Drop rows where ANY OTTL condition is true (OR composition).
 
     NULL-valued conditions keep the row (error_mode=ignore keeps data
     flowing), hence the explicit coalesce.
+
+    ``context`` selects the condition grammar, mirroring filterprocessor's
+    signal-specific config blocks (`processor/filterprocessor/config.go`:
+    ``logs.log_record``, ``traces.span``/``spanevent``,
+    ``metrics.metric``/``datapoint``).
     """
-    ctx = LogContext(df)
+    from .transform import _context_cls
+
+    ctx = _context_cls(context)(df)
     drop = compile_conditions_or(drop_conditions, ctx)
     return df.filter(~F.coalesce(drop, F.lit(False)))
 

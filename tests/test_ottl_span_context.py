@@ -176,6 +176,29 @@ def test_spanevent_context_parent_access(spark):
     assert out2.tn == span_start + 250_000_000
 
 
+def test_filterprocessor_span_and_metric_contexts(spark, spans):
+    """filterprocessor signal-specific condition blocks
+    (`processor/filterprocessor/config.go`): traces.span conditions compile
+    with the span grammar, metrics.datapoint with the metric grammar."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators.filter import (
+        filter_ottl,
+    )
+
+    out = filter_ottl(
+        spans, ["status.code == STATUS_CODE_ERROR"], context="span"
+    )
+    assert {r.span_id for r in out.collect()} == {"t1#0", "t2#0"}
+
+    dps = spark.createDataFrame(
+        [("latency", 1, 5.0), ("requests", 2, 3.0)],
+        "metric_name string, metric_type int, vd double",
+    )
+    out2 = filter_ottl(
+        dps, ["metric.type == METRIC_DATA_TYPE_SUM"], context="datapoint"
+    )
+    assert [r.metric_name for r in out2.collect()] == ["latency"]
+
+
 def test_is_root_span_requires_span_frame(spark):
     df = spark.createDataFrame([("a",)], ["text"])
     with pytest.raises(OTTLCompileError, match="span frame"):
