@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "pii_scrub_docs",
     "decontaminate_docs",
+    # round-3 additions
+    "span_context_transform",
+    "metric_context_transform",
+    "pack_sequences",
+    "mix_sample_docs",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"
