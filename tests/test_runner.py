@@ -196,6 +196,54 @@ def test_write_table_iceberg_overwrite_partitions_idempotent():
         sinks.write_table(df3, "cat.db.t", mode="overwrite_partitions", fmt="iceberg")
 
 
+def test_runner_iceberg_crash_resume_idempotent(spark, tmp_path, monkeypatch):
+    """Crash AFTER some Iceberg sink writes but BEFORE the lineage commit:
+    --resume re-runs the whole chunk, and because every write is an
+    overwrite_partitions on chunk_id, the re-run REPLACES the partial
+    chunk's partitions instead of appending duplicates."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.plans import (
+        pipeline as flagship,
+        runner as runner_mod,
+    )
+    from open_telemetry_opentelemetry_collector_contrib_spark.datagen import transcripts
+    from tests.conftest import SF_UNIT
+
+    src = str(tmp_path / "src")
+    transcripts(spark, SF_UNIT).limit(1000).write.parquet(src)
+
+    calls = []
+    fail_at = {"n": 3}  # crash on the 3rd sink write of the first attempt
+
+    def fake_write_table(df, target, mode="overwrite", group_by=None, fmt="auto"):
+        if fail_at["n"] is not None and len(calls) == fail_at["n"]:
+            raise RuntimeError("simulated crash mid-chunk")
+        df.count()  # a real write executes the plan (feeds the Observation)
+        calls.append({"target": target, "mode": mode})
+
+    monkeypatch.setattr(runner_mod.sinks_io, "write_table", fake_write_table)
+    r = runner_mod.PipelineRunner(
+        spark, src, str(tmp_path / "out"), num_chunks=1,
+        fmt="iceberg", table_prefix="cat.db",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        r.run(resume=False)
+    assert r.completed_chunks() == set()  # lineage never committed
+    partial = len(calls)
+    assert 0 < partial < len(flagship.SINKS) + 1
+
+    fail_at["n"] = None  # recovery run
+    results = r.run(resume=True)
+    assert len(results) == 1 and r.completed_chunks() == {0}
+    # every write (partial-attempt AND re-run) is an idempotent partition
+    # overwrite — an append here would mean duplicated rows after resume
+    assert all(c["mode"] == "overwrite_partitions" for c in calls)
+    # the re-run covered every sink + counts exactly once
+    rerun = calls[partial:]
+    assert len(rerun) == len(flagship.SINKS) + 1
+
+
 def test_write_table_compression(spark, tmp_path):
     """fileexporter `compression` analog (config.go:45-55): codec reaches
     the parquet files on the file path."""
