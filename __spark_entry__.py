@@ -213,30 +213,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(TRAINING_QUERIES)
     out.update(_flagship_queries())
     # Stable priority ordering: queries whose driver correctness rows are
-    # missing or stale (never recorded, or recorded only in round 1) lead the
-    # dict so a prefix-sampling driver records them first; relative order of
-    # the rest is unchanged.
+    # STALEST lead the dict so a prefix-sampling driver refreshes them first.
+    # Round 4: the 23 queries whose last green row is CORRECTNESS_r02 lead,
+    # then this round's changed/new queries (kind.string fix, recall gate),
+    # then the flagship pipeline; relative order of the rest is unchanged.
     priority = [
+        # last driver record r02 — refresh these first
+        "aggregate_label_values",
+        "aggregate_labels",
+        "asof_join_scd",
+        "container_parse",
+        "count_with_defaults",
+        "doc_quality",
+        "exact_dedup",
+        "fingerprint_docs",
+        "lang_id",
+        "metrics_calculate",
+        "minhash_lsh_pairs",
+        "ngram_jaccard_pairs",
+        "range_lookup_geoip",
+        "resource_detect",
+        "schema_translate",
+        "severity_map",
+        "signal_to_metrics",
+        "simhash_docs",
+        "span_metrics_exponential",
+        "syslog_parse",
+        "syslog_rfc5424_parse",
+        "token_counts",
+        "uri_parse",
+        # changed or new this round
+        "span_context_transform",
+        "ann_ivf_recall",
+        # flagship + r3-new, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",
         "pipeline_sum_latency",
-        "pii_scrub_docs",
-        "decontaminate_docs",
-        "chunk_documents",
-        "dedup_components",
-        "ann_ivf_fullprobe",
-        "span_context_transform",
-        "metric_context_transform",
-        "spanevent_context_transform",
-        "pack_sequences",
-        "mix_sample_docs",
         "transcripts",
         "pipeline_parse",
         "pipeline_enrich",
-        "ann_cosine_topk",
-        "ann_cosine_lsh",
-        "embedding_near_dup",
-        "curation_pipeline",
+        "spanevent_context_transform",
+        "metric_context_transform",
+        "pack_sequences",
+        "mix_sample_docs",
         "ann_cosine_ivf",
         "multimodal_features",
         "frame_sample_plan",

@@ -3,7 +3,9 @@
 Sections:
 - per-query timings for a representative operator subset at
   $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS] (noop writes: full compute,
-  no sink cost);
+  no sink cost); each is the MEDIAN of 3 runs with min/max published as the
+  dispersion band (single-shot numbers swing 1.5-2x under this shared
+  host's tenant load, hiding real regressions/improvements);
 - headline e2e parse->enrich->route->aggregate wall time + turns/sec;
 - **scaling evidence** (north rule: efficiency >= 0.8 from N to 4N
   executors): the same e2e job over the same scaled-up input at local[4] and
@@ -282,11 +284,23 @@ def main() -> None:
     queries = entry_mod.queries()
     n_turns = queries["transcripts"](spark, sf_dir).count()  # warm-up + size
 
+    # per-query: median of 3 runs (run 1 is cold — includes Catalyst
+    # planning/codegen; the median lands on a warm run, so round-over-round
+    # deltas track the plan, not this shared host's tenant-load lottery).
+    # min/max published as the dispersion band.
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
+    timings_max: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        force(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force(queries[name](spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[1], 4)
+        timings_min[name] = round(runs[0], 4)
+        timings_max[name] = round(runs[-1], 4)
 
     t0 = time.perf_counter()
     force(entry_mod.q_pipeline_sink_counts(spark, sf_dir))
@@ -296,9 +310,13 @@ def main() -> None:
     spark.stop()
 
     times = run_scaling(sf_dir, rep)
+    # headline efficiency IS the documented estimator (median of plausible
+    # rounds). tps_low/high are diagnostics of the median-closest round's
+    # raw seconds — with an even plausible-round count their ratio can
+    # differ slightly from eff_median; the published figure is eff_median.
     tps_low = scaled_turns / times[SCALE_LOW]
     tps_high = scaled_turns / times[SCALE_HIGH]
-    efficiency = (tps_high / tps_low) / (SCALE_HIGH / SCALE_LOW)
+    efficiency = times["eff"]
 
     print(
         json.dumps(
@@ -307,6 +325,8 @@ def main() -> None:
                 "value": round(e2e, 4),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
+                "queries_max": timings_max,
                 "sf": sf,
                 "turns": n_turns,
                 "turns_per_sec": round(n_turns / e2e, 1),

@@ -148,9 +148,15 @@ def cosine_topk_ivf(
     query_id_col: str = "query_id",
     seed: int = 13,
     fit_max: int = 4096,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: KMeans coarse quantizer partitions the corpus; each
     query searches only its ``nprobe`` nearest centroids' inverted lists.
+    Pass ``centroids`` to inject a precomputed coarse quantizer (e.g.
+    deterministic seed vectors) and skip the KMeans fit entirely — the
+    probe/assign/rank machinery is identical, and with a deterministic
+    quantizer the PRUNED search becomes exactly reproducible in SQL (the
+    ``ann_ivf_recall`` oracle relies on this).
 
     Scale: the quantizer is fit on a persisted deterministic SAMPLE of at
     most ~``fit_max`` vectors (quantizer quality needs thousands of vectors,
@@ -162,33 +168,48 @@ def cosine_topk_ivf(
     oracle, and probing ALL clusters reproduces it exactly (the metamorphic
     oracle `ann_ivf_fullprobe` uses that identity).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
-
-    corpus = embeddings.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")
-    ).withColumn("__features", array_to_vector(F.col("__cv")))
-    # parquet count(*) is row-group-metadata cheap; the sample fraction keeps
-    # the fit input ~fit_max rows independent of corpus size. Persist so each
-    # KMeans iteration re-reads the sample, not the corpus.
-    n = embeddings.count()
-    fit_df = corpus
-    if n > fit_max:
-        fit_df = corpus.sample(fraction=min(1.0, 1.2 * fit_max / n), seed=seed)
-    fit_df = fit_df.persist()
-    try:
-        model = KMeans(k=num_clusters, seed=seed, featuresCol="__features").fit(fit_df)
-    finally:
-        fit_df.unpersist()
-    assigned = model.transform(corpus).withColumnRenamed("prediction", "__cluster")
-
-    centroids = [list(c) for c in model.clusterCenters()]
 
     def _dist2(vec: Column, center: list[float]) -> Column:
         carr = F.array(*[F.lit(float(x)) for x in center])
         diff = F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b))
         return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    corpus = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        fit_corpus = corpus.withColumn("__features", array_to_vector(F.col("__cv")))
+        # deterministic fit sample with NO corpus-wide action: orderBy(hash)
+        # + limit compiles to TakeOrderedAndProject — a map-side
+        # per-partition top-fit_max then one driver merge, one pass over the
+        # corpus regardless of size (and no count() job, so non-parquet
+        # sources pay nothing extra). When the corpus is smaller than
+        # fit_max it keeps everything. Persist so each KMeans iteration
+        # re-reads the 4k-row sample, not the corpus.
+        fit_df = (
+            fit_corpus.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(fit_max)
+            .persist()
+        )
+        try:
+            model = KMeans(
+                k=num_clusters, seed=seed, featuresCol="__features"
+            ).fit(fit_df)
+        finally:
+            fit_df.unpersist()
+        centroids = [list(c) for c in model.clusterCenters()]
+    # assignment is one map-side pass: argmin over the (small, literal)
+    # centroid table — same expression shape for fitted and injected
+    # quantizers, no MLlib on the scoring path.
+    cdists = F.array(
+        *[
+            F.struct(_dist2(F.col("__cv"), c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    assigned = corpus.withColumn("__cluster", F.array_sort(cdists)[0]["c"])
 
     q = queries.select(
         F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")

@@ -19,8 +19,10 @@ Canonical span frame conventions (operators/traces.py:16-34):
   pdata code (err -> 2=ERROR, ok -> 1=OK, else 0=UNSET) unless a typed
   ``status_code`` column exists (`internal/span.go:117-127`);
 - ``kind`` is an int column when present; ``kind.string`` renders the
-  ``SPAN_KIND_X`` symbol and ``kind.deprecated_string`` the short Go name
-  (`internal/span.go:80-92`, `internal/span.go:330-385`).
+  pdata ``Kind().String()`` short name ("Server") and
+  ``kind.deprecated_string`` the proto-style ``SPAN_KIND_X`` symbol via
+  ``traceutil.SpanKindStr`` (`internal/span.go:328-388`,
+  `internal/coreinternal/traceutil/traceutil.go:16-32`).
 """
 
 from __future__ import annotations
@@ -112,8 +114,8 @@ class SpanContext(LogContext):
                 if code == 0:
                     continue
                 out = F.when(k == code, F.lit(name)).otherwise(out)
-            if segs[1] == "string":
-                # Kind().String() renders the SPAN_KIND_X symbol
+            if segs[1] == "deprecated_string":
+                # traceutil.SpanKindStr renders the proto SPAN_KIND_X symbol
                 sym = F.lit("SPAN_KIND_UNSPECIFIED")
                 for code, name in SPAN_KIND_NAMES.items():
                     if code == 0:
@@ -122,6 +124,7 @@ class SpanContext(LogContext):
                         k == code, F.lit(f"SPAN_KIND_{name.upper()}")
                     ).otherwise(sym)
                 return TypedCol(sym, "string")
+            # Kind().String() renders the short pdata name ("Server")
             return TypedCol(out, "string")
         if segs == ("end_time",):
             return TypedCol(self._end_time(), "time")

@@ -752,7 +752,8 @@ def q_span_context_transform(spark, sf_dir):
                 context="span",
                 statements=[
                     'set(attributes["entry_root"], span_id) where IsRootSpan()',
-                    'set(attributes["kind_str"], kind.string)',
+                    'set(attributes["kind_str"], kind.deprecated_string)',
+                    'set(attributes["kind_short"], kind.string)',
                     'set(attributes["code"], status.code)',
                     'set(attributes["dur_ns"], end_time_unix_nano - start_time_unix_nano)'
                     " where status.code != STATUS_CODE_UNSET",
@@ -765,6 +766,7 @@ def q_span_context_transform(spark, sf_dir):
         "span_id",
         "entry_root",
         "kind_str",
+        "kind_short",
         F.col("code").cast("bigint").alias("code"),
         F.col("dur_ns").cast("bigint").alias("dur_ns"),
     )
@@ -780,6 +782,10 @@ SELECT trace_id, span_id,
     WHEN 1 THEN 'SPAN_KIND_INTERNAL' WHEN 2 THEN 'SPAN_KIND_SERVER'
     WHEN 3 THEN 'SPAN_KIND_CLIENT' WHEN 4 THEN 'SPAN_KIND_PRODUCER'
     WHEN 5 THEN 'SPAN_KIND_CONSUMER' END AS kind_str,
+  CASE (turn_idx % 5) + 1
+    WHEN 1 THEN 'Internal' WHEN 2 THEN 'Server'
+    WHEN 3 THEN 'Client' WHEN 4 THEN 'Producer'
+    WHEN 5 THEN 'Consumer' END AS kind_short,
   CAST(CASE WHEN status = 'err' THEN 2 WHEN status = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS code,
   CASE WHEN status IN ('err', 'ok')
        THEN CAST(coalesce(duration_ms, 0) * 1000000 AS BIGINT) END AS dur_ns

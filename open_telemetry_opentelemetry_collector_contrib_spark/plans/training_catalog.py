@@ -412,6 +412,119 @@ def q_ann_ivf_fullprobe(spark, sf_dir):
     )
 
 
+# deterministic coarse quantizer for the oracle-checked recall gate: the
+# centroids are the corpus vectors at these fixed vec_ids (present at every
+# SF — smallest table has ids 0..499), so the PRUNED IVF search is exactly
+# reproducible in SQL with no RNG and no iterative fit.
+_IVF_SEED_IDS = [7, 61, 113, 167, 229, 283, 347, 401]
+_IVF_NPROBE = 3
+
+
+def _seed_centroids(spark, sf_dir) -> list[list[float]]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id").isin(_IVF_SEED_IDS))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()  # k rows, driver-side by design (quantizer is tiny)
+    )
+    return [list(r.v) for r in rows]
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    """Recall@k gate for the PRUNED IVF search — closes the last
+    non-multimodal rows-only driver check. The quantizer is injected
+    (deterministic seed vectors, `_IVF_SEED_IDS`), so assignment, probe
+    choice, pruned top-k, and the resulting per-query recall are all exactly
+    reproducible by the DuckDB oracle: recall_ppm =
+    floor(1e6 * |pruned_topk ∩ brute_topk| / k) per query. The KMeans-fitted
+    quantizer stays covered by `ann_ivf_fullprobe` (metamorphic exactness)
+    plus the pytest recall@k property test."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = _queries_df(spark, sf_dir)
+    pruned = similarity.cosine_topk_ivf(
+        emb,
+        qdf,
+        k=_ANN_K,
+        num_clusters=len(_IVF_SEED_IDS),
+        nprobe=_IVF_NPROBE,
+        centroids=_seed_centroids(spark, sf_dir),
+    ).select("query_id", "vec_id")
+    brute = similarity.cosine_topk_bruteforce(emb, qdf, k=_ANN_K).select(
+        "query_id", "vec_id"
+    )
+    return (
+        brute.join(pruned.withColumn("__hit", F.lit(1)), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("__hit").alias("hits"))
+        .select(
+            "query_id",
+            F.col("hits").cast("bigint").alias("hits"),
+            F.floor(F.lit(1_000_000) * F.col("hits") / F.lit(_ANN_K))
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+def _ann_ivf_recall_oracle() -> str:
+    ids = ", ".join(str(i) for i in _IVF_SEED_IDS)
+    d = _DIM
+    dist = (
+        f"list_sum([(b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]) "
+        f"for i in range(1, {d + 1})])"
+    )
+    qdist = (
+        f"list_sum([(q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]) "
+        f"for i in range(1, {d + 1})])"
+    )
+    return f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id IN ({ids})
+), base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {_NUM_QUERIES}
+), assigned AS (
+  SELECT vec_id, v, c FROM (
+    SELECT b.vec_id, b.v, c.c,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY {dist}, c.c) AS rn
+    FROM base b CROSS JOIN cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qv, c FROM (
+    SELECT q.query_id, q.qv, c.c,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {qdist}, c.c) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {_IVF_NPROBE}
+), pruned AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY
+             list_dot_product(a.v, p.qv)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv)))
+             DESC, a.vec_id ASC) AS rank
+    FROM assigned a JOIN probes p USING (c)
+  ) WHERE rank <= {_ANN_K}
+), brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(b.v, q.qv)
+               / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+             DESC, b.vec_id ASC) AS rank
+    FROM base b CROSS JOIN q
+  ) WHERE rank <= {_ANN_K}
+)
+SELECT b.query_id, CAST(count(p.vec_id) AS BIGINT) AS hits,
+       CAST(floor(1000000.0 * count(p.vec_id) / {_ANN_K}) AS BIGINT) AS recall_ppm
+FROM brute b LEFT JOIN pruned p USING (query_id, vec_id)
+GROUP BY b.query_id
+"""
+
+
 def _planted_embeddings(spark, sf_dir):
     """Embeddings plus deterministic planted near-duplicates: every
     vec_id % 25 == 0 row gets a copy at vec_id + 1000000 with 0.01 added to
@@ -819,6 +932,7 @@ TRAINING_QUERIES = {
     "ann_cosine_lsh": q_ann_lsh,
     "ann_cosine_ivf": q_ann_ivf,
     "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
+    "ann_ivf_recall": q_ann_ivf_recall,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
     "frame_sample_plan": q_frame_sample_plan,
@@ -844,6 +958,8 @@ TRAINING_ORACLES = {
     "ann_cosine_lsh": _ann_lsh_oracle(),
     # full-probe IVF == exact brute force (metamorphic identity)
     "ann_ivf_fullprobe": O_ANN_BRUTEFORCE,
+    # pruned IVF with an injected deterministic quantizer: full recall oracle
+    "ann_ivf_recall": _ann_ivf_recall_oracle(),
     "embedding_near_dup": _near_dup_oracle(),
     # multimodal: pandas-UDF stub features -> rows-only
     "curation_pipeline": _curation_oracle(),

@@ -58,12 +58,23 @@ def write_table(
     )
     if use_iceberg:
         if mode == "overwrite_partitions":
-            try:
-                df.writeTo(target).overwritePartitions()
-            except Exception as e:  # table does not exist yet -> create it
-                if "TABLE_OR_VIEW_NOT_FOUND" not in str(e) and "not found" not in str(e).lower():
-                    raise
+            # choose create vs dynamic-overwrite by asking the catalog, not
+            # by sniffing exception text — unrelated failures on the
+            # crash-recovery path (FileNotFoundException, missing metadata
+            # file) must surface, not be masked by a create() retry.
+            if spark.catalog.tableExists(target):
                 writer = df.writeTo(target)
+                if compression:
+                    writer = writer.tableProperty(
+                        "write.parquet.compression-codec", compression
+                    )
+                writer.overwritePartitions()
+            else:
+                writer = df.writeTo(target)
+                if compression:
+                    writer = writer.tableProperty(
+                        "write.parquet.compression-codec", compression
+                    )
                 if group_by:
                     from pyspark.sql import functions as F
 

@@ -14,6 +14,7 @@ streaming-native path for unbounded inputs.
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Iterator
 
 import pandas as pd
@@ -55,14 +56,19 @@ def _d2c_fn(
     state.update((running,))
 
 
-# per-worker stream admission registry: partition id -> admitted stream keys.
-# applyInPandasWithState sees one key at a time, so the max_streams cap
-# (a per-collector memory bound in the reference) is enforced per state
-# PARTITION via this registry. Worker memory, not checkpointed: after a
-# restart it refills from traffic — the bound re-establishes within one
-# batch, erring briefly toward admitting (memory-protection backstop, not an
-# exactness contract; documented divergence).
-_ADMITTED: dict[int, set] = {}
+# per-worker stream admission registry: (query token, partition id) ->
+# admitted stream keys. applyInPandasWithState sees one key at a time, so
+# the max_streams cap (a per-collector memory bound in the reference) is
+# enforced per state PARTITION via this registry. Namespacing by a per-query
+# token (minted at plan-build time) keeps stale keys from a previous
+# stream/query in the same long-lived Python worker from consuming a later
+# query's capacity. Worker memory, not checkpointed: after a restart it
+# refills from traffic — the bound re-establishes within one batch, erring
+# briefly toward admitting. Note also that each Python worker process holds
+# its own registry, so the effective cap is per (worker, partition) — a
+# memory-protection backstop, not an exactness contract; documented
+# divergence.
+_ADMITTED: dict[tuple[str, int], set] = {}
 
 
 def _partition_id() -> int:
@@ -72,7 +78,11 @@ def _partition_id() -> int:
     return tc.partitionId() if tc is not None else 0
 
 
-def _d2c_guarded(max_stale_ms: int | None, max_streams_per_partition: int | None):
+def _d2c_guarded(
+    max_stale_ms: int | None,
+    max_streams_per_partition: int | None,
+    query_token: str = "",
+):
     """Compose the running-sum fn with max_stale TTL eviction and the
     max_streams admission cap (`deltatocumulativeprocessor/processor.go:88-93`:
     'if stream new and state capacity reached, reject' -> datapoints of
@@ -82,7 +92,7 @@ def _d2c_guarded(max_stale_ms: int | None, max_streams_per_partition: int | None
     def fn(key, pdf_iter, state: GroupState):
         adm = None
         if max_streams_per_partition is not None:
-            adm = _ADMITTED.setdefault(_partition_id(), set())
+            adm = _ADMITTED.setdefault((query_token, _partition_id()), set())
         if max_stale_ms and state.hasTimedOut:
             state.remove()
             if adm is not None:
@@ -126,7 +136,7 @@ def delta_to_cumulative_stream(
     fn = (
         _d2c_fn
         if not max_stale_ms and max_streams_per_partition is None
-        else _d2c_guarded(max_stale_ms, max_streams_per_partition)
+        else _d2c_guarded(max_stale_ms, max_streams_per_partition, uuid.uuid4().hex)
     )
     return events.groupBy("user_id", "event_type").applyInPandasWithState(
         fn,

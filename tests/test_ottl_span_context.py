@@ -54,13 +54,16 @@ def test_kind_enum_and_strings(spans):
     ctx = SpanContext(spans)
     kept = spans.filter(compile_condition("kind == SPAN_KIND_SERVER", ctx))
     assert {r.span_id for r in kept.collect()} == {"t1#0"}
+    # Kind().String() -> short pdata names (internal/span.go:328-357);
+    # deprecated_string -> proto SPAN_KIND_X via traceutil.SpanKindStr
+    # (internal/span.go:359-388, traceutil/traceutil.go:16-32).
     out = _span_stmt(spans, 'set(attributes["ks"], kind.string)').collect()
     ks = {r.span_id: r.ks for r in out}
-    assert ks == {"t1#0": "SPAN_KIND_SERVER", "t1#1": "SPAN_KIND_CLIENT",
-                  "t2#0": "SPAN_KIND_INTERNAL"}
+    assert ks == {"t1#0": "Server", "t1#1": "Client", "t2#0": "Internal"}
     out = _span_stmt(spans, 'set(attributes["kd"], kind.deprecated_string)').collect()
     kd = {r.span_id: r.kd for r in out}
-    assert kd == {"t1#0": "Server", "t1#1": "Client", "t2#0": "Internal"}
+    assert kd == {"t1#0": "SPAN_KIND_SERVER", "t1#1": "SPAN_KIND_CLIENT",
+                  "t2#0": "SPAN_KIND_INTERNAL"}
 
 
 def test_status_code_enum(spans):

@@ -158,42 +158,80 @@ def test_write_table_iceberg_writer_chain():
 
 
 def test_write_table_iceberg_overwrite_partitions_idempotent():
-    """mode='overwrite_partitions': existing table -> overwritePartitions()
-    (dynamic-overwrite snapshot, idempotent chunk re-run); missing table ->
-    create() partitioned by the chunk key. Never append (would duplicate a
-    crashed chunk's rows on resume)."""
+    """mode='overwrite_partitions': existing table (catalog.tableExists) ->
+    overwritePartitions() (dynamic-overwrite snapshot, idempotent chunk
+    re-run); missing table -> create() partitioned by the chunk key. Never
+    append (would duplicate a crashed chunk's rows on resume). The
+    create/overwrite choice asks the catalog — it must NOT be inferred from
+    exception text, so unrelated failures propagate."""
     from unittest.mock import MagicMock
 
     from open_telemetry_opentelemetry_collector_contrib_spark.sources import sinks
 
     df = MagicMock()
+    df.sparkSession.catalog.tableExists.return_value = True
     sinks.write_table(
         df, "cat.db.t", mode="overwrite_partitions", group_by=["chunk_id"], fmt="iceberg"
     )
+    df.sparkSession.catalog.tableExists.assert_called_once_with("cat.db.t")
     df.writeTo.return_value.overwritePartitions.assert_called_once()
     df.writeTo.return_value.append.assert_not_called()
 
-    # first-write path: overwritePartitions raises TABLE_OR_VIEW_NOT_FOUND
+    # first-write path: catalog says the table is missing -> create()
     df2 = MagicMock()
-    first = MagicMock()
-    first.overwritePartitions.side_effect = Exception(
-        "[TABLE_OR_VIEW_NOT_FOUND] The table cat.db.t cannot be found"
-    )
-    created = MagicMock()
-    df2.writeTo.side_effect = [first, created]
+    df2.sparkSession.catalog.tableExists.return_value = False
     sinks.write_table(
         df2, "cat.db.t", mode="overwrite_partitions", group_by=["chunk_id"], fmt="iceberg"
     )
+    created = df2.writeTo.return_value
     created.partitionedBy.assert_called_once()
     created.partitionedBy.return_value.create.assert_called_once()
+    created.overwritePartitions.assert_not_called()
 
-    # unrelated write failures must propagate, not be swallowed as "create"
+    # write failures on an EXISTING table must propagate, never be
+    # misclassified as "table missing" and rerouted to create()
     df3 = MagicMock()
-    df3.writeTo.return_value.overwritePartitions.side_effect = Exception("quota exceeded")
+    df3.sparkSession.catalog.tableExists.return_value = True
+    df3.writeTo.return_value.overwritePartitions.side_effect = Exception(
+        "FileNotFoundException: metadata/v3.json not found"
+    )
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="quota"):
+    with _pytest.raises(Exception, match="not found"):
         sinks.write_table(df3, "cat.db.t", mode="overwrite_partitions", fmt="iceberg")
+    df3.writeTo.return_value.create.assert_not_called()
+
+
+def test_write_table_iceberg_overwrite_partitions_compression():
+    """The fileexporter compression analog must reach BOTH
+    overwrite_partitions branches (tableProperty on overwrite and create),
+    not just append/overwrite."""
+    from unittest.mock import MagicMock
+
+    from open_telemetry_opentelemetry_collector_contrib_spark.sources import sinks
+
+    df = MagicMock()
+    df.sparkSession.catalog.tableExists.return_value = True
+    sinks.write_table(
+        df, "cat.db.t", mode="overwrite_partitions", fmt="iceberg",
+        compression="zstd",
+    )
+    df.writeTo.return_value.tableProperty.assert_called_once_with(
+        "write.parquet.compression-codec", "zstd"
+    )
+    df.writeTo.return_value.tableProperty.return_value.overwritePartitions.assert_called_once()
+
+    df2 = MagicMock()
+    df2.sparkSession.catalog.tableExists.return_value = False
+    sinks.write_table(
+        df2, "cat.db.t", mode="overwrite_partitions", group_by=["chunk_id"],
+        fmt="iceberg", compression="zstd",
+    )
+    w2 = df2.writeTo.return_value
+    w2.tableProperty.assert_called_once_with(
+        "write.parquet.compression-codec", "zstd"
+    )
+    w2.tableProperty.return_value.partitionedBy.return_value.create.assert_called_once()
 
 
 def test_runner_iceberg_crash_resume_idempotent(spark, tmp_path, monkeypatch):

@@ -139,6 +139,28 @@ def test_max_streams_cap_rejects_new_streams():
     stateful._ADMITTED.clear()
 
 
+def test_max_streams_registry_is_per_query():
+    """Admission registries are namespaced by a per-query token: stale keys
+    left behind by a previous query in the same long-lived Python worker
+    must not consume a later query's capacity."""
+    stateful._ADMITTED.clear()
+    fn_q1 = stateful._d2c_guarded(
+        max_stale_ms=60000, max_streams_per_partition=1, query_token="q1"
+    )
+    fn_q2 = stateful._d2c_guarded(
+        max_stale_ms=60000, max_streams_per_partition=1, query_token="q2"
+    )
+    s1, s2 = _FakeState(), _FakeState()
+    # q1 fills its single slot
+    assert len(list(fn_q1((1, "a"), iter([_pdf(1, "a")]), s1))) == 1
+    # a fresh query with its own token starts at zero occupancy
+    assert len(list(fn_q2((2, "a"), iter([_pdf(2, "a")]), s2))) == 1
+    # but q1 itself is still at capacity
+    s3 = _FakeState()
+    assert list(fn_q1((3, "a"), iter([_pdf(3, "a")]), s3)) == []
+    stateful._ADMITTED.clear()
+
+
 def test_stateful_d2c_with_cap_matches_batch(spark, events_vi_dir):
     """A cap far above the per-partition stream count must not change
     results (the guarded path is exercised end-to-end in a real query)."""

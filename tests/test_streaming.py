@@ -140,3 +140,76 @@ def test_streaming_round2_stateless_operators_parity(spark, tmp_path):
     q.awaitTermination()
     got = {tuple(r) for r in spark.sql("select * from r2_stream").collect()}
     assert got == batch and len(got) > 100
+
+
+def test_streaming_span_context_transform_parity(spark, tmp_path):
+    """The first-class span/datapoint contexts are stateless Catalyst
+    projections, so transformprocessor statement groups lift onto
+    readStream unchanged (SURVEY §2.12 parity for the round-3 contexts)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators.transform import (
+        StatementGroup,
+        transform,
+    )
+
+    src = str(tmp_path / "span_src")
+    rows = [
+        (f"t{i % 7}", f"t{i % 7}#{i}", None if i % 3 == 0 else f"t{i % 7}#0",
+         f"op{i % 4}", (i % 5) + 1, ["ok", "err", None][i % 3],
+         (i * 13) % 900, datetime(2024, 3, 1, 12, 0, i % 60))
+        for i in range(256)
+    ]
+    schema = T.StructType([
+        T.StructField("trace_id", T.StringType()),
+        T.StructField("span_id", T.StringType()),
+        T.StructField("parent_span_id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("kind", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(src)
+
+    def program(df):
+        out = transform(
+            df,
+            [
+                StatementGroup(
+                    context="span",
+                    statements=[
+                        'set(attributes["root"], span_id) where IsRootSpan()',
+                        'set(attributes["k"], kind.string)',
+                        'set(attributes["kd"], kind.deprecated_string)',
+                        'set(attributes["code"], status.code)',
+                    ],
+                )
+            ],
+        )
+        # no attributes map on the frame -> attributes["x"] are flat columns
+        return out.select(
+            "span_id",
+            F.col("root"),
+            F.col("k"),
+            F.col("kd"),
+            F.col("code"),
+        )
+
+    batch = {tuple(r) for r in program(spark.read.parquet(src)).collect()}
+    q = (
+        program(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("memory")
+        .queryName("span_ctx_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql("select * from span_ctx_stream").collect()}
+    assert got == batch and len(got) == 256
+    ks = {r[2] for r in got}
+    assert ks == {"Internal", "Server", "Client", "Producer", "Consumer"}
