@@ -8,8 +8,6 @@ transformed DataFrame (editors). Signatures follow each function's
 ``Arguments`` struct (`pkg/ottl/ottlfuncs/func_<name>.go`).
 
 Divergences (documented):
-- ``FNV`` maps to xxhash64 — deterministic 64-bit hash, different constant
-  than Go's FNV (values differ from the reference, semantics identical).
 - ``ConvertCase`` camel mode approximates Go strcase for multi-rune edge
   cases.
 """
@@ -58,6 +56,46 @@ _CP1252_TRANSLATE = (
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+
+def _fnv1a64_py(s):
+    """Exact Go hash/fnv FNV-1a 64-bit over a pandas string Series (plain
+    Python ints with a 2^64 mask; surfaced as int64 two's complement, the
+    same widening pdata PutInt performs)."""
+
+    def one(x):
+        if x is None:
+            return None
+        h = 14695981039346656037
+        for b in str(x).encode("utf-8"):
+            h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    return s.map(one)
+
+
+def _double_bits_py(s):
+    """IEEE-754 bits of float64 as int64 (Java Double.doubleToLongBits)."""
+    import numpy as np
+
+    return s.astype("float64").to_numpy().view(np.int64)
+
+
+def _fnv1a64_udf(col: Column) -> Column:
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_fnv1a64_py, "long")(col)
+
+
+def _double_bits_udf(col: Column) -> Column:
+    from pyspark.sql.functions import pandas_udf
+
+    def f(s):
+        import pandas as pd
+
+        return pd.Series(_double_bits_py(s))
+
+    return pandas_udf(f, "long")(col)
 
 
 def _lit_of(node, what: str):
@@ -319,10 +357,26 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
     if name == "ParseKeyValue":
         delim = _lit_of(args[1], "kv delim") if len(args) > 1 else "="
         pair = _lit_of(args[2], "pair delim") if len(args) > 2 else " "
-        return TypedCol(
-            F.str_to_map(F.trim(val(0).col), F.lit(re.escape(pair)), F.lit(re.escape(delim))),
-            "map",
+        # parseutils.ParseKeyValuePairs honors double quotes: a delimiter
+        # inside quotes is data. JVM-side via the quote-parity lookahead
+        # (split only where an EVEN number of quotes follows), then strip
+        # surrounding quotes from values — stays composable inside
+        # higher-order functions (merge_maps), unlike a Python UDF.
+        outside = '(?=(?:[^"]*"[^"]*")*[^"]*$)'
+        pair_re = re.escape(pair) + outside
+        delim_re = re.escape(delim) + outside
+        parts = F.split(F.trim(val(0).col), pair_re)
+        entries = F.transform(
+            parts,
+            lambda p: F.struct(
+                F.trim(F.split(p, delim_re, 2)[0]).alias("key"),
+                F.regexp_replace(
+                    F.trim(F.split(p, delim_re, 2)[1]), '^"(.*)"$', "$1"
+                ).alias("value"),
+            ),
         )
+        entries = F.filter(entries, lambda e: (e["key"] != "") & e["value"].isNotNull())
+        return TypedCol(F.map_from_entries(entries), "map")
     if name == "ParseCSV":
         # func_parse_csv.go:28-38: delimiter, headerDelimiter (defaults to
         # delimiter), mode strict|lazyQuotes|ignoreQuotes. strict/lazyQuotes
@@ -330,13 +384,24 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
         # is a plain split (quotes are data).
         header = _lit_of(args[1], "ParseCSV header")
         nmap = dict(call.named)
-        d = _lit_of(nmap["delimiter"], "delimiter") if "delimiter" in nmap else ","
-        hd = (
-            _lit_of(nmap["headerDelimiter"], "headerDelimiter")
-            if "headerDelimiter" in nmap
-            else d
-        )
-        mode = _lit_of(nmap["mode"], "mode") if "mode" in nmap else "strict"
+        # optional params may be positional (target, header, delimiter,
+        # headerDelimiter, mode — `e2e_test.go:610`) or named
+        d = hd = mode = None
+        if len(args) > 2:
+            d = _lit_of(args[2], "delimiter")
+        if len(args) > 3:
+            hd = _lit_of(args[3], "headerDelimiter")
+        if len(args) > 4:
+            mode = _lit_of(args[4], "mode")
+        if "delimiter" in nmap:
+            d = _lit_of(nmap["delimiter"], "delimiter")
+        if "headerDelimiter" in nmap:
+            hd = _lit_of(nmap["headerDelimiter"], "headerDelimiter")
+        if "mode" in nmap:
+            mode = _lit_of(nmap["mode"], "mode")
+        d = d if d is not None else ","
+        hd = hd if hd is not None else d
+        mode = mode if mode is not None else "strict"
         fields = header.split(hd)
         if mode == "ignoreQuotes":
             parts = F.split(val(0).col, re.escape(d))
@@ -365,12 +430,22 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
     if name == "SHA512":
         return TypedCol(F.sha2(val(0).col.cast("string"), 512), "string")
     if name == "FNV":
-        return TypedCol(F.xxhash64(val(0).col.cast("string")), "int")
+        # exact Go hash/fnv FNV-1a 64 (func_fnv.go) — numpy uint64 wraparound
+        # in an Arrow-batched UDF; rarely on a hot path, exactness wins
+        return TypedCol(_fnv1a64_udf(val(0).col.cast("string")), "int")
     if name == "Hex":
+        # func_hex.go hex-encodes the Go value's bytes: int64 -> 8 bytes,
+        # float64 -> IEEE bits, bool -> 1 byte, string -> utf-8 bytes
         a = val(0)
+        if a.t == "bool":
+            return TypedCol(
+                F.when(a.col, F.lit("01")).otherwise(F.lit("00")), "string"
+            )
+        if a.t == "float":
+            bits = _double_bits_udf(a.col.cast("double"))
+            return TypedCol(F.lpad(F.lower(F.hex(bits)), 16, "0"), "string")
         h = F.lower(F.hex(a.col))
         if a.t == "int":
-            # reference hex-encodes the full 8-byte int64 (func_hex.go)
             h = F.lpad(h, 16, "0")
         return TypedCol(h, "string")
     if name == "Base64Decode":
@@ -419,7 +494,12 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
             ts = F.to_utc_timestamp(ts, loc)
         return TypedCol(ts, "time")
     if name == "TruncateTime":
-        dur = parse_go_duration(_lit_of(args[1], "TruncateTime duration"))
+        # duration may be a string literal or a Duration("...") call
+        # (`e2e_test.go`: TruncateTime(time, Duration("1s")))
+        dnode = args[1]
+        if isinstance(dnode, FuncCall) and dnode.name == "Duration":
+            dnode = dnode.args[0]
+        dur = parse_go_duration(_lit_of(dnode, "TruncateTime duration"))
         sec = int(dur)
         t = val(0).col
         return TypedCol(

@@ -126,11 +126,21 @@ def parse_eventlog(groups: dict[str, str]) -> dict:
         }
         for label in groups.values()
     }
-    logs = [
-        os.path.join(EVENTLOG_DIR, f)
-        for f in os.listdir(EVENTLOG_DIR)
-        if not f.startswith(".")
-    ]
+    # Spark 4 rolling event logs are DIRECTORIES (eventlog_v2_<appid>/ with
+    # events_* files); plain files otherwise.
+    logs = []
+    for f in os.listdir(EVENTLOG_DIR):
+        if f.startswith("."):
+            continue
+        p = os.path.join(EVENTLOG_DIR, f)
+        if os.path.isdir(p):
+            logs.extend(
+                os.path.join(p, g)
+                for g in os.listdir(p)
+                if g.startswith("events_")
+            )
+        else:
+            logs.append(p)
     events = []
     for path in logs:
         with open(path, encoding="utf-8") as fh:
