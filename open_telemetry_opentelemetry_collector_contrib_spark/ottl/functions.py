@@ -939,45 +939,75 @@ def call_editor(df: DataFrame, call: FuncCall, ctx: LogContext, cond: Column | N
         return df.withColumn(key, _guarded(new, old, cond))
 
     if name == "flatten":
-        # reference flattens nested pcommon.Map values into dotted keys
-        # (func_flatten.go). Our typed frames nest via StructType: flatten a
-        # struct column into a map<string,string> with dotted keys; a map
-        # target is already flat (no-op).
+        # reference flattens nested pcommon.Map values into dotted keys,
+        # slices into indexed keys (foo.slice.0), with optional prefix and
+        # depth args (func_flatten.go; `e2e_test.go:65-137`). Our typed
+        # frames nest via StructType/ArrayType: flatten into a
+        # map<string,string> with dotted/indexed keys; beyond ``depth``,
+        # remaining nesting is rendered as JSON (the string-typed map's
+        # canonical rendering of a still-nested value). A MapType target is
+        # already flat — prefix (if any) is applied to its keys.
         from pyspark.sql import types as T
 
         target = args[0]
         kind, key = ctx.target_kind(target)
         named = dict(call.named)
         prefix = ""
-        if named.get("prefix") is not None:
-            prefix = _lit_of(named["prefix"], "flatten prefix") + "."
+        pnode = named.get("prefix") or (args[1] if len(args) > 1 else None)
+        if pnode is not None:
+            prefix = _lit_of(pnode, "flatten prefix") + "."
+        depth = 1 << 30
+        if named.get("depth") is not None:
+            depth = int(_lit_of(named["depth"], "flatten depth"))
         dtype = ctx.schema.get(key)
         if isinstance(dtype, T.MapType):
-            return df
+            new = F.col(key)
+            if prefix:
+                new = F.transform_keys(new, lambda k, _v: F.concat(F.lit(prefix), k))
+            return df.withColumn(key, _guarded(new, F.col(key), cond))
         if not isinstance(dtype, T.StructType):
             raise OTTLCompileError("flatten requires a struct or map column")
 
-        def walk(col: Column, st: T.StructType, pre: str):
-            pairs = []
+        def leaf(k: str, c: Column, dt) -> Column:
+            v = F.to_json(c) if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)) else c.cast("string")
+            return F.array(
+                F.when(c.isNotNull(), F.struct(F.lit(k).alias("key"), v.alias("value")))
+            )
+
+        def walk(col: Column, st: T.StructType, pre: str, d: int) -> list[Column]:
+            # each element: array<struct<key,value>> (arrays are dynamic-length)
+            out: list[Column] = []
             for f in st.fields:
                 child = col[f.name]
-                if isinstance(f.dataType, T.StructType):
-                    pairs += walk(child, f.dataType, f"{pre}{f.name}.")
+                k = f"{pre}{f.name}"
+                if isinstance(f.dataType, T.StructType) and d > 0:
+                    out += walk(child, f.dataType, k + ".", d - 1)
+                elif isinstance(f.dataType, T.ArrayType) and d > 0:
+                    elem = f.dataType.elementType
+                    render = (
+                        (lambda x: F.to_json(x))
+                        if isinstance(elem, (T.StructType, T.ArrayType, T.MapType))
+                        else (lambda x: x.cast("string"))
+                    )
+                    indexed = F.zip_with(
+                        child,
+                        F.sequence(F.lit(0), F.size(child) - 1),
+                        lambda x, i: F.struct(
+                            F.concat(F.lit(k + "."), i.cast("string")).alias("key"),
+                            render(x).alias("value"),
+                        ),
+                    )
+                    # sequence(0, -1) would count DOWN for empty arrays
+                    out.append(
+                        F.when(F.size(child) > 0, indexed).otherwise(F.array())
+                    )
                 else:
-                    pairs.append((f"{pre}{f.name}", child.cast("string")))
-            return pairs
+                    out.append(leaf(k, child, f.dataType))
+            return out
 
-        pairs = walk(F.col(key), dtype, prefix)
+        arrays = walk(F.col(key), dtype, prefix, depth)
         new = F.map_from_entries(
-            F.filter(
-                F.array(
-                    *[
-                        F.when(c.isNotNull(), F.struct(F.lit(k).alias("key"), c.alias("value")))
-                        for k, c in pairs
-                    ]
-                ),
-                lambda x: x.isNotNull(),
-            )
+            F.filter(F.concat(*arrays), lambda x: x.isNotNull())
         )
         old = F.col(key)
         return df.withColumn(key, _guarded(new, old, cond))

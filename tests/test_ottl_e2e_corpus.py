@@ -6,14 +6,16 @@ Excluded (documented data-model divergence, each covered by an equivalent
 test elsewhere):
 
 - statements against the heterogeneous nested pdata map (``attributes["foo"]``
-  as a map-of-any, ``attributes["things"]`` as a slice-of-maps): ``flatten``,
+  as a map-of-any, ``attributes["things"]`` as a slice-of-maps):
   ``merge_maps(attributes, attributes["foo"], ...)``, nested ``append``,
   ``set(attributes["foo"]["test"], ...)``, ``keep_keys(attributes["foo"],..)``,
   ``SliceToMap``, ``Len(attributes["foo"])``, ``IsMap``/``IsList`` on nested
   values. Spark columns are statically typed; the engine's model is flat
   typed columns + a map<string,string> attributes column (compiler
   docstring), and those editors are conformance-tested on homogeneous maps
-  in test_ottl.py.
+  in test_ottl.py. The three ``flatten`` corpus statements ARE ported (on a
+  StructType mirror of the reference record — see the flatten section at
+  the bottom).
 - ``String(span_id)`` / ``SpanID(0x..)`` / ``TraceID(0x..)`` setters: ids are
   hex STRINGS in our frames (the pdata raw-bytes rendering ``[1,2,3,...]``
   has no analog); id semantics are covered in test_ottl_span_context.py.
@@ -303,3 +305,98 @@ def test_feature_body_concat_eq(logs_flat):
 def test_feature_truncate_time(logs_flat):
     out = apply_statement(logs_flat, 'set(time, TruncateTime(time, Duration("1s")))')
     assert out.collect()[0].ts == datetime(2024, 2, 4, 6, 5, 1)
+
+
+# --- flatten corpus (`e2e_test.go:65-137`) on the typed nested frame -------
+#
+# The reference record's nested pdata map is mirrored as a StructType
+# attributes column; values that remain nested after flattening (a map
+# inside a slice, or nesting beyond `depth`) render as JSON — the
+# string-typed map's canonical rendering of a still-nested value (pdata
+# keeps them as live maps; documented divergence).
+
+
+@pytest.fixture(scope="module")
+def logs_nested(spark):
+    row = {
+        "text": "operationA",
+        "attributes": {
+            "http.method": "get",
+            "http.path": "/health",
+            "http.url": "http://localhost/health",
+            "flags": "A|B|C",
+            "total.string": "123456789",
+            "foo": {
+                "bar": "pass",
+                "flags": "pass",
+                "slice": ["val"],
+                "nested": {"test": "pass"},
+            },
+            "things": [
+                {"name": "foo", "value": 2},
+                {"name": "bar", "value": 5},
+            ],
+        },
+    }
+    schema = (
+        "text string, attributes struct<"
+        "`http.method`:string, `http.path`:string, `http.url`:string, "
+        "flags:string, `total.string`:string, "
+        "foo:struct<bar:string, flags:string, slice:array<string>, "
+        "nested:struct<test:string>>, "
+        "things:array<struct<name:string, value:bigint>>>"
+    )
+    return spark.createDataFrame([row], schema)
+
+
+FLAT_BASE = {
+    "http.method": "get",
+    "http.path": "/health",
+    "http.url": "http://localhost/health",
+    "flags": "A|B|C",
+    "total.string": "123456789",
+}
+
+
+def test_flatten_full_depth(logs_nested):
+    got = _attrs_after(logs_nested, "flatten(attributes)")
+    assert got == {
+        **FLAT_BASE,
+        "foo.bar": "pass",
+        "foo.flags": "pass",
+        "foo.slice.0": "val",
+        "foo.nested.test": "pass",
+        "things.0": '{"name":"foo","value":2}',
+        "things.1": '{"name":"bar","value":5}',
+    }
+
+
+def test_flatten_prefix(logs_nested):
+    got = _attrs_after(logs_nested, 'flatten(attributes, "test")')
+    assert got["test.http.method"] == "get"
+    assert got["test.foo.slice.0"] == "val"
+    assert got["test.foo.nested.test"] == "pass"
+    assert set(got) == {f"test.{k}" for k in [
+        "http.method", "http.path", "http.url", "flags", "total.string",
+        "foo.bar", "foo.flags", "foo.slice.0", "foo.nested.test",
+        "things.0", "things.1",
+    ]}
+
+
+def test_flatten_depth_1(logs_nested):
+    got = _attrs_after(logs_nested, "flatten(attributes, depth=1)")
+    assert got == {
+        **FLAT_BASE,
+        "foo.bar": "pass",
+        "foo.flags": "pass",
+        "foo.slice": '["val"]',
+        "foo.nested": '{"test":"pass"}',
+        "things.0": '{"name":"foo","value":2}',
+        "things.1": '{"name":"bar","value":5}',
+    }
+
+
+def test_flatten_map_with_prefix(logs_map):
+    # a MapType target is already flat; prefix still applies to its keys
+    got = _attrs_after(logs_map, 'flatten(attributes, "p")')
+    assert got == {f"p.{k}": v for k, v in BASE_ATTRS.items()}
