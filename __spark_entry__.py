@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed or new this round
         "span_context_transform",
         "ann_ivf_recall",
+        "doc_repetition",
         # flagship + r3-new, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "metric_context_transform",
     "pack_sequences",
     "mix_sample_docs",
+    # round-4 additions
+    "doc_repetition",
+    "ann_ivf_recall",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

@@ -106,6 +106,166 @@ def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/boilerplate filters (Rae et al. 2021, §A1.1):
+    duplicate-line fractions, top word-bigram character fraction, duplicate
+    word-5-gram character fraction. The standard pre-training corpus gates
+    for machine-generated/boilerplate text.
+
+    Scale design: every signal is a WITHIN-ROW array program (split ->
+    array_sort -> neighbor/run folds) — no explode, no shuffle, one
+    embarrassingly parallel map stage over the corpus, so the operator's
+    cost is O(corpus) at any cluster size. The sorted-neighbor trick turns
+    "chars in duplicated values" into run-length sums (O(L log L) per row
+    instead of the naive O(L^2) self-join per row).
+
+    Definitions (ratios surfaced as floored millionths for portable
+    hashing):
+    - ``dup_line_ppm``: excess duplicate lines / lines
+      (1 - distinct/total).
+    - ``dup_line_char_ppm``: chars in lines whose line value occurs more
+      than once (ALL occurrences) / total line chars.
+    - ``top_bigram_char_ppm``: chars covered by the most frequent word
+      bigram (count x bigram length, space included) / total chars; ties
+      break to the lexicographically smallest bigram.
+    - ``dup_5gram_char_ppm``: summed chars of all occurrences of word
+      5-grams that occur more than once / total chars (overlapping spans
+      counted per occurrence, capped at 1.0 — the standard approximation).
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("bigint")
+
+    def _bind(col: Column, fn) -> Column:
+        # evaluate `col` once per row by binding it as an HOF lambda
+        # variable — withColumn/let-style exprs get inlined into every
+        # reference by CollapseProject and (HOFs being CodegenFallback,
+        # no CSE) would re-evaluate per access; a lambda var is a true
+        # per-row binding
+        return F.transform(F.array(col), fn)[0]
+
+    def _dup_sorted_chars(s: Column) -> Column:
+        # chars in duplicated values: in the SORTED array, a value is part
+        # of a duplicate group iff it equals its left or right neighbor —
+        # O(L log L) per row instead of the naive O(L^2) within-row count
+        n = F.size(s)
+        contrib = F.zip_with(
+            s,
+            F.sequence(F.lit(1), n),
+            lambda x, i: F.when(
+                ((i > 1) & (F.element_at(s, (i - 1).cast("int")) == x))
+                | ((i < n) & (F.element_at(s, (i + 1).cast("int")) == x)),
+                F.length(x),
+            ).otherwise(F.lit(0)),
+        )
+        return F.coalesce(
+            F.aggregate(contrib, F.lit(0), lambda a, x: a + x), F.lit(0)
+        )
+
+    def _ngrams(words: Column, n: int) -> Column:
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(words, (i + k).cast("int")) for k in range(n)],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    _lines = F.split(text, "\n")
+    _words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+    dup_line_frac = _bind(
+        _lines,
+        lambda lines: F.when(
+            F.size(lines) > 0,
+            (F.size(lines) - F.size(F.array_distinct(lines))).cast("double")
+            / F.size(lines),
+        ).otherwise(F.lit(0.0)),
+    )
+
+    dup_line_char_frac = _bind(
+        _lines,
+        lambda lines: _bind(
+            F.struct(
+                F.array_sort(lines).alias("s"),
+                F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x)).alias(
+                    "chars"
+                ),
+            ),
+            lambda st: F.when(
+                st["chars"] > 0,
+                _dup_sorted_chars(st["s"]).cast("double") / st["chars"],
+            ).otherwise(F.lit(0.0)),
+        ),
+    )
+
+    # most frequent bigram: max run length in the sorted bigram array
+    # (fold state: prev value, current run, best count, best value; ties
+    # keep the first = lexicographically smallest bigram)
+    def _top_run(s: Column) -> Column:
+        state0 = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit("").alias("bestg"),
+        )
+        return F.aggregate(
+            s,
+            state0,
+            lambda st, x: _bind(
+                F.when(x == st["prev"], st["run"] + 1).otherwise(F.lit(1)),
+                lambda run: F.struct(
+                    x.alias("prev"),
+                    run.alias("run"),
+                    F.when(run > st["best"], run).otherwise(st["best"]).alias("best"),
+                    F.when(run > st["best"], x).otherwise(st["bestg"]).alias("bestg"),
+                ),
+            ),
+        )
+
+    top_bigram_char_frac = _bind(
+        _words,
+        lambda words: _bind(
+            _top_run(F.array_sort(_ngrams(words, 2))),
+            lambda top: F.when(
+                (n_chars > 0) & (top["best"] > 0),
+                (top["best"] * F.length(top["bestg"])).cast("double") / n_chars,
+            ).otherwise(F.lit(0.0)),
+        ),
+    )
+
+    dup_5gram_char_frac = _bind(
+        _words,
+        lambda words: F.when(
+            n_chars > 0,
+            F.least(
+                _bind(F.array_sort(_ngrams(words, 5)), _dup_sorted_chars).cast(
+                    "double"
+                )
+                / n_chars,
+                F.lit(1.0),
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+
+    return (
+        df.withColumn("dup_line_ppm", F.floor(dup_line_frac * 1_000_000).cast("bigint"))
+        .withColumn(
+            "dup_line_char_ppm", F.floor(dup_line_char_frac * 1_000_000).cast("bigint")
+        )
+        .withColumn(
+            "top_bigram_char_ppm",
+            F.floor(top_bigram_char_frac * 1_000_000).cast("bigint"),
+        )
+        .withColumn(
+            "dup_5gram_char_ppm",
+            F.floor(dup_5gram_char_frac * 1_000_000).cast("bigint"),
+        )
+    )
+
+
 def char_shingles(text: Column, n: int = 8) -> Column:
     """Array of character n-grams (empty when text shorter than n)."""
     length = F.length(text)

@@ -38,6 +38,91 @@ def q_doc_quality(spark, sf_dir):
     )
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition/boilerplate signals (Rae et al. 2021 §A1.1)
+    per document: duplicate-line fractions, top word-bigram char fraction,
+    duplicate word-5-gram char fraction. All within-row array programs —
+    one map stage over the corpus, zero shuffle (functions/text.py
+    repetition_signals); the DuckDB twin computes the same quantities
+    relationally (unnest + window counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_fns.repetition_signals(docs)
+    return out.select(
+        "doc_id",
+        "dup_line_ppm",
+        "dup_line_char_ppm",
+        "top_bigram_char_ppm",
+        "dup_5gram_char_ppm",
+    )
+
+
+O_DOC_REPETITION = r"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n_chars FROM documents
+), lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM base
+), line_stats AS (
+  SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS nd,
+         sum(length(line)) AS line_chars,
+         sum(CASE WHEN cnt > 1 THEN length(line) ELSE 0 END) AS dup_chars
+  FROM (
+    SELECT doc_id, line,
+           count(*) OVER (PARTITION BY doc_id, line) AS cnt
+    FROM lines
+  ) GROUP BY doc_id
+), words_arr AS (
+  SELECT doc_id, n_chars,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM base
+), bigrams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= 2
+      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+      ELSE [] END) AS g
+  FROM words_arr
+), top2 AS (
+  SELECT doc_id, cnt, length(g) AS glen FROM (
+    SELECT doc_id, g, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, g ASC) AS rn
+    FROM bigrams GROUP BY doc_id, g
+  ) WHERE rn = 1
+), g5 AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= 5
+      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+            || ' ' || ws[i+4] for i in range(1, len(ws) - 3)]
+      ELSE [] END) AS g
+  FROM words_arr
+), g5s AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt > 1 THEN length(g) ELSE 0 END) AS dupchars
+  FROM (
+    SELECT doc_id, g, count(*) OVER (PARTITION BY doc_id, g) AS cnt FROM g5
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+  -- double-arithmetic association mirrors the Spark side exactly:
+  -- ratio first (double), THEN * 1e6, then floor
+  CAST(floor((CAST(ls.n_lines - ls.nd AS DOUBLE) / ls.n_lines) * 1000000.0)
+    AS BIGINT) AS dup_line_ppm,
+  CAST(CASE WHEN ls.line_chars > 0
+    THEN floor((CAST(ls.dup_chars AS DOUBLE) / ls.line_chars) * 1000000.0)
+    ELSE 0 END AS BIGINT) AS dup_line_char_ppm,
+  CAST(CASE WHEN b.n_chars > 0 AND t.cnt IS NOT NULL
+    THEN floor((CAST(t.cnt * t.glen AS DOUBLE) / b.n_chars) * 1000000.0)
+    ELSE 0 END AS BIGINT) AS top_bigram_char_ppm,
+  CAST(CASE WHEN b.n_chars > 0
+    THEN floor(least(CAST(coalesce(g5s.dupchars, 0) AS DOUBLE) / b.n_chars,
+                     1.0) * 1000000.0)
+    ELSE 0 END AS BIGINT) AS dup_5gram_char_ppm
+FROM base b
+JOIN line_stats ls USING (doc_id)
+LEFT JOIN top2 t USING (doc_id)
+LEFT JOIN g5s USING (doc_id)
+"""
+
+
 O_DOC_QUALITY = r"""
 WITH q AS (
   SELECT doc_id,
@@ -922,6 +1007,7 @@ TRAINING_QUERIES = {
     "mix_sample_docs": q_mix_sample_docs,
     "exact_dedup": q_exact_dedup,
     "doc_quality": q_doc_quality,
+    "doc_repetition": q_doc_repetition,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -948,6 +1034,7 @@ TRAINING_ORACLES = {
     "mix_sample_docs": _mix_sample_oracle(),
     "exact_dedup": O_EXACT_DEDUP,
     "doc_quality": O_DOC_QUALITY,
+    "doc_repetition": O_DOC_REPETITION,
     "token_counts": O_TOKEN_COUNTS,
     "lang_id": _lang_id_oracle(),
     "ngram_jaccard_pairs": O_NGRAM_JACCARD,

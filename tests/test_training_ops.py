@@ -268,3 +268,36 @@ def test_stratified_sample_rates(spark):
     assert out.count() == packing.stratified_sample(
         docs, "source", rates, default_rate=0.0
     ).count()
+
+
+def test_repetition_signals_known_values(spark):
+    """Gopher repetition rules on constructed docs with exactly known
+    fractions (Rae et al. 2021 §A1.1 analog)."""
+    boiler = "spam line\nspam line\nspam line\nunique one"
+    clean = "alpha beta\ngamma delta\nepsilon zeta"
+    phrase = "buy now " * 10  # one dominant bigram, trailing space stripped
+    rows = [(1, boiler), (2, clean), (3, phrase.strip())]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text_fns.repetition_signals(df).collect()}
+
+    # doc 1: 4 lines, 2 distinct -> excess dup fraction 2/4; chars in
+    # duplicated lines = 3 * len("spam line") = 27 of 37 line chars
+    assert out[1].dup_line_ppm == 500000
+    assert out[1].dup_line_char_ppm == int((27 / 37) * 1_000_000)
+    # doc 2: no duplicate lines, no repeated bigrams/5-grams
+    assert out[2].dup_line_ppm == 0
+    assert out[2].dup_line_char_ppm == 0
+    assert out[2].dup_5gram_char_ppm == 0
+    # doc 3: "buy now buy now ..." — top bigram "buy now" (7 chars) occurs
+    # 10 times in 79 chars; all word-5-grams are duplicated -> capped metric
+    n_chars = len(phrase.strip())
+    assert out[3].top_bigram_char_ppm == int((10 * 7 / n_chars) * 1_000_000)
+    assert out[3].dup_5gram_char_ppm > 900_000
+
+
+def test_repetition_signals_single_map_stage(spark):
+    """The operator must stay a within-row projection: no Exchange in the
+    optimized plan (zero-shuffle at any corpus size)."""
+    df = spark.createDataFrame([(1, "a b c\nd e f")], ["doc_id", "text"])
+    plan = text_fns.repetition_signals(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
