@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_context_transform",
         "ann_ivf_recall",
         "doc_repetition",
+        "doc_tfidf",
         # flagship + r3-new, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

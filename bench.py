@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     # round-4 additions
     "doc_repetition",
     "ann_ivf_recall",
+    "doc_tfidf",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

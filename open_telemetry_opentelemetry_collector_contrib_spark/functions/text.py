@@ -266,6 +266,76 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level TF-IDF keyword extraction: the ``k`` most distinctive
+    terms per document.
+
+    Scale design (the classic 100 TB term-statistics shape):
+    - one explode -> groupBy(doc, term) with map-side partial aggregation
+      (term counts collapse before the shuffle);
+    - document frequencies reduce the SAME aggregated frame again — the
+      result is vocabulary-sized, so it broadcasts back (no second shuffle
+      of the corpus, no skew: hot terms are already one row per doc);
+    - per-doc top-k is a window over doc_id (AQE-coalesced partial top-k).
+
+    Scoring uses the RATIONAL idf ``(N+1)/(df+1)`` instead of the usual
+    log form: integer-derived double arithmetic is bit-exact across
+    engines (ln() can differ in the last ULP between libm and the JVM and
+    flip a floor at scale boundaries), so ``score_ppb`` hash-matches the
+    DuckDB twin exactly. Ranking (score desc, term asc) is identical under
+    any monotone transform of idf, so the chosen KEYWORDS equal the
+    log-idf variant's whenever df differs.
+    Output: (doc_id, term, rank, tf, score_ppb).
+    """
+    from pyspark.sql import Window
+
+    terms = (
+        df.select(
+            F.col(doc_id_col),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+                )
+            ).alias("term"),
+        )
+        .groupBy(doc_id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # corpus size as a broadcast 1-row frame, NOT a driver-side action —
+    # the whole operator stays one lazy plan (no eager count job)
+    ndocs = df.agg(F.count_distinct(F.col(doc_id_col)).alias("n_docs"))
+    docfreq = terms.groupBy("term").agg(F.count("*").alias("df_t"))
+    scored = (
+        terms.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs") + F.lit(1)).cast("double")
+            / (F.col("df_t") + F.lit(1)).cast("double"),
+        )
+    )
+    w = Window.partitionBy(doc_id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            doc_id_col,
+            "term",
+            "rank",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.floor(F.col("score") * 1_000_000_000).cast("bigint").alias("score_ppb"),
+        )
+    )
+
+
 def char_shingles(text: Column, n: int = 8) -> Column:
     """Array of character n-grams (empty when text shorter than n)."""
     length = F.length(text)

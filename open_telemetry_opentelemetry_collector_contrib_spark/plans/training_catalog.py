@@ -123,6 +123,42 @@ LEFT JOIN g5s USING (doc_id)
 """
 
 
+def q_doc_tfidf(spark, sf_dir):
+    """Corpus-level TF-IDF keyword extraction: top-5 most distinctive terms
+    per document (functions/text.py tfidf_top_terms — explode + map-side
+    combined doc-term agg, vocabulary-sized broadcast IDF join, per-doc
+    window top-k; rational idf keeps the score bit-exact across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_fns.tfidf_top_terms(docs, k=5)
+
+
+O_DOC_TFIDF = r"""
+WITH terms AS (
+  SELECT doc_id, t AS term, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS t
+    FROM documents
+  ) GROUP BY doc_id, t
+), dfreq AS (
+  SELECT term, count(*) AS df_t FROM terms GROUP BY term
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         (CAST(t.tf AS DOUBLE) * (nd.n_docs + 1)) / (d.df_t + 1) AS score
+  FROM terms t JOIN dfreq d USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, CAST(rank AS INT) AS rank, CAST(tf AS BIGINT) AS tf,
+       CAST(floor(score * 1000000000.0) AS BIGINT) AS score_ppb
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 O_DOC_QUALITY = r"""
 WITH q AS (
   SELECT doc_id,
@@ -1008,6 +1044,7 @@ TRAINING_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "doc_quality": q_doc_quality,
     "doc_repetition": q_doc_repetition,
+    "doc_tfidf": q_doc_tfidf,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -1035,6 +1072,7 @@ TRAINING_ORACLES = {
     "exact_dedup": O_EXACT_DEDUP,
     "doc_quality": O_DOC_QUALITY,
     "doc_repetition": O_DOC_REPETITION,
+    "doc_tfidf": O_DOC_TFIDF,
     "token_counts": O_TOKEN_COUNTS,
     "lang_id": _lang_id_oracle(),
     "ngram_jaccard_pairs": O_NGRAM_JACCARD,

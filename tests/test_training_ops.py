@@ -301,3 +301,27 @@ def test_repetition_signals_single_map_stage(spark):
     df = spark.createDataFrame([(1, "a b c\nd e f")], ["doc_id", "text"])
     plan = text_fns.repetition_signals(df)._jdf.queryExecution().optimizedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_tfidf_top_terms_plan_and_ranking(spark):
+    """TF-IDF keywords: the rarest term wins per doc; the IDF join must be
+    a broadcast (vocabulary-sized dim), never a shuffle of the corpus."""
+    rows = [
+        (1, "common common common rare"),
+        (2, "common common other"),
+        (3, "common unique unique"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text_fns.tfidf_top_terms(df, k=2)
+    top = {r.doc_id: r.term for r in out.filter(F.col("rank") == 1).collect()}
+    # rational idf (N+1)/(df+1), N=3: 'common' (df 3) idf 1.0; singletons
+    # idf 2.0. doc1: common 3*1=3 > rare 1*2=2. doc2: common 2*1=2 ties
+    # other 1*2=2 -> term asc picks 'common'. doc3: unique 2*2=4 > common 1.
+    assert top == {1: "common", 2: "common", 3: "unique"}
+    # and the idf effect: doc3's rare repeated term outranks the corpus-wide
+    # 'common' even though doc1's common has higher tf
+    scores = {(r.doc_id, r.term): r.score_ppb for r in out.collect()}
+    assert scores[(3, "unique")] == 4_000_000_000
+    assert scores[(1, "common")] == 3_000_000_000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
