@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall",
         "doc_repetition",
         "doc_tfidf",
+        "boilerplate_turns",
         # flagship + r3-new, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

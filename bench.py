@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "doc_repetition",
     "ann_ivf_recall",
     "doc_tfidf",
+    "boilerplate_turns",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

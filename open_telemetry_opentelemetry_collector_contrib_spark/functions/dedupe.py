@@ -37,6 +37,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
+def suppress_boilerplate_turns(
+    df: DataFrame,
+    min_groups: int = 3,
+    group_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style cross-group boilerplate suppression for transcripts: drop
+    turns whose EXACT text appears in >= ``min_groups`` distinct
+    conversations (canned assistant responses, templated tool output — the
+    transcript analog of C4's cross-document duplicate-line removal).
+
+    Scale: one aggregation with map-side-combined distinct handling builds
+    the (text, distinct-conv count) table; the surviving boilerplate set is
+    tiny by construction (only the high-document-frequency tail crosses the
+    threshold), so it comes back as a broadcast LEFT ANTI join — the corpus
+    itself never shuffles, and hot texts cannot skew the join because the
+    broadcast side holds one row per text.
+    """
+    boiler = (
+        df.groupBy(text_col)
+        .agg(F.count_distinct(F.col(group_col)).alias("n_groups"))
+        .filter(F.col("n_groups") >= min_groups)
+        .select(text_col)
+    )
+    return df.join(F.broadcast(boiler), text_col, "left_anti")
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of distinct word n-grams."""
     words = F.split(F.trim(text), r"\s+")

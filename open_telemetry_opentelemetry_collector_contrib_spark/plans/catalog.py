@@ -130,6 +130,37 @@ FROM parsed
 _DEDUP_EXCLUDE = ["conv_id", "turn_idx", "text", "msg", "prop_k", "latency_ms"]
 
 
+def q_boilerplate_turns(spark, sf_dir):
+    """Cross-conversation boilerplate suppression (C4 duplicate-line policy
+    lifted to transcript turns): drop turns whose exact text appears in >= 3
+    distinct conversations. One distinct-count aggregate builds the (tiny)
+    boilerplate set; the corpus takes a broadcast LEFT ANTI join and never
+    shuffles (functions/dedupe.py suppress_boilerplate_turns)."""
+    from ..functions.dedupe import suppress_boilerplate_turns
+
+    t = pipeline.transcripts(spark, sf_dir)
+    out = suppress_boilerplate_turns(t, min_groups=3)
+    return out.select(
+        "conv_id", "turn_idx", "role", "tool", "text",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+
+
+O_BOILERPLATE_TURNS = (
+    _PREFIX
+    + """
+, boiler AS (
+  SELECT text FROM transcripts_cte GROUP BY text
+  HAVING count(DISTINCT conv_id) >= 3
+)
+SELECT conv_id, turn_idx, role, tool, text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+FROM transcripts_cte
+WHERE text NOT IN (SELECT text FROM boiler)
+"""
+)
+
+
 def q_logdedup_transcripts(spark, sf_dir):
     df = pipeline.parsed(spark, sf_dir)
     out = dedup_ops.logdedup(
@@ -633,6 +664,7 @@ CATALOG_QUERIES = {
     "filter_match_props": q_filter_match_props,
     "transform_statements": q_transform_statements,
     "logdedup_transcripts": q_logdedup_transcripts,
+    "boilerplate_turns": q_boilerplate_turns,
     "sample_lcg_events": q_sample_lcg_events,
     "sample_hash_transcripts": q_sample_hash_transcripts,
     "delta_to_cumulative": q_delta_to_cumulative,
@@ -656,6 +688,7 @@ CATALOG_ORACLES = {
     "filter_match_props": O_FILTER_MATCH,
     "transform_statements": O_TRANSFORM,
     "logdedup_transcripts": O_LOGDEDUP,
+    "boilerplate_turns": O_BOILERPLATE_TURNS,
     "sample_lcg_events": O_SAMPLE_LCG,
     "sample_hash_transcripts": O_SAMPLE_HASH,
     "delta_to_cumulative": O_D2C,

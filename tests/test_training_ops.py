@@ -325,3 +325,22 @@ def test_tfidf_top_terms_plan_and_ranking(spark):
     assert scores[(1, "common")] == 3_000_000_000
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_suppress_boilerplate_turns(spark):
+    """Planted canned response in 3 conversations is dropped everywhere;
+    unique turns survive; the corpus side takes a broadcast anti join."""
+    canned = "I'm sorry, I can't help with that."
+    rows = [
+        ("c1", 0, canned), ("c1", 1, "unique a"),
+        ("c2", 0, canned), ("c2", 1, "unique b"),
+        ("c3", 0, canned),
+        # same text twice in ONE conversation -> only 1 distinct conv, kept
+        ("c4", 0, "repeated intra"), ("c4", 1, "repeated intra"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = dedupe.suppress_boilerplate_turns(df, min_groups=3)
+    got = {(r.conv_id, r.turn_idx) for r in out.collect()}
+    assert got == {("c1", 1), ("c2", 1), ("c4", 0), ("c4", 1)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
