@@ -86,6 +86,41 @@ def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.sink_counts(spark, sf_dir)
 
 
+def q_route_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spanmetrics latency-percentile analog, exact DISCRETE quantiles per
+    route: one window pass (row_number + count over route) picks the
+    ceil(p*n)-th order statistic for p in {0.5, 0.9, 0.99} plus max/count.
+    Discrete (not interpolated) on purpose — integer order statistics are
+    bit-portable across engines, where interpolated percentiles differ in
+    double-arithmetic association and can flip a floored hash. Scale: no
+    per-group collect; the only heavy step is the window shuffle on route,
+    and the follow-up aggregate is route-cardinality-sized. Matches DuckDB
+    ``quantile_disc`` (same ceil(p*n) element)."""
+    from pyspark.sql import Window
+
+    df = pipeline.routed(spark, sf_dir).filter(F.col("latency_ms").isNotNull())
+    w = Window.partitionBy("route").orderBy("latency_ms")
+    wn = Window.partitionBy("route")
+    ranked = (
+        df.select("route", "latency_ms")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+    )
+
+    def pick(p: float):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(p)), F.col("latency_ms"))
+        ).cast("bigint")
+
+    return ranked.groupBy("route").agg(
+        pick(0.5).alias("p50_ms"),
+        pick(0.9).alias("p90_ms"),
+        pick(0.99).alias("p99_ms"),
+        F.max("latency_ms").cast("bigint").alias("max_ms"),
+        F.count("*").cast("bigint").alias("n_turns"),
+    )
+
+
 def q_pipeline_sum_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_telemetry_opentelemetry_collector_contrib_spark.operators import (
         aggregate as agg_ops,
@@ -194,6 +229,19 @@ FROM routed GROUP BY 1, 2, 3, 4, 5""",
 SELECT CAST(floor(epoch(ts) / {pipeline.WINDOW_S}) AS BIGINT) AS window_id,
        route, role, CAST(sum(latency_ms) AS BIGINT) AS total_latency_ms
 FROM routed WHERE latency_ms IS NOT NULL GROUP BY 1, 2, 3""",
+        # quantile_disc picks the same ceil(p*n)-th order statistic as the
+        # Spark window row_number selection — integer-exact, no
+        # interpolated-double parity risk
+        "route_latency_quantiles": _PREFIX
+        + _ROUTED_CTE
+        + """
+SELECT route,
+       CAST(quantile_disc(latency_ms, 0.5) AS BIGINT) AS p50_ms,
+       CAST(quantile_disc(latency_ms, 0.9) AS BIGINT) AS p90_ms,
+       CAST(quantile_disc(latency_ms, 0.99) AS BIGINT) AS p99_ms,
+       CAST(max(latency_ms) AS BIGINT) AS max_ms,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM routed WHERE latency_ms IS NOT NULL GROUP BY route""",
     }
 
 
@@ -248,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition",
         "doc_tfidf",
         "boilerplate_turns",
+        "route_latency_quantiles",
         # flagship + r3-new, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",
@@ -276,6 +325,7 @@ def _flagship_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_route": q_pipeline_route,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_sum_latency": q_pipeline_sum_latency,
+        "route_latency_quantiles": q_route_latency_quantiles,
     }
 
 

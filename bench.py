@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "ann_ivf_recall",
     "doc_tfidf",
     "boilerplate_turns",
+    "route_latency_quantiles",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"
