@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf",
         "boilerplate_turns",
         "route_latency_quantiles",
+        "fuzzy_exact_dedup",
         # flagship + r3-new, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

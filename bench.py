@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "doc_tfidf",
     "boilerplate_turns",
     "route_latency_quantiles",
+    "fuzzy_exact_dedup",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

@@ -32,6 +32,36 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def normalize_for_dedup(text: Column) -> Column:
+    """RefinedWeb/C4-style "fuzzy exact" canonical form: lowercase, strip
+    everything but alphanumerics and spaces, collapse whitespace runs,
+    trim. Catches case/punctuation/whitespace re-serializations of the
+    same content that byte-exact dedup misses."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def fuzzy_exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """exact_dedup over the normalized form: one row per canonical text,
+    keeper = min id, dup_count. Same scale shape as exact_dedup (digest
+    shuffle keys — uniform, narrow rows)."""
+    return (
+        df.select(
+            F.md5(normalize_for_dedup(F.col(text_col))).alias("norm_md5"),
+            F.col(id_col),
+        )
+        .groupBy("norm_md5")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingling + n-gram Jaccard
 # ---------------------------------------------------------------------------

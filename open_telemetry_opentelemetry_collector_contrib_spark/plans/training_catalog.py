@@ -25,6 +25,28 @@ FROM documents GROUP BY text
 """
 
 
+def q_fuzzy_exact_dedup(spark, sf_dir):
+    """RefinedWeb/C4 "fuzzy exact" dedup: byte-exact dedup over a canonical
+    form (lowercase, strip non-alphanumerics, collapse whitespace) —
+    catches case/punctuation re-serializations byte-exact dedup misses
+    (functions/dedupe.py normalize_for_dedup)."""
+    return dedupe.fuzzy_exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# DuckDB regexp_replace needs the 'g' flag (replaces FIRST match only by
+# default, unlike Spark's replace-all)
+O_FUZZY_EXACT_DEDUP = r"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                        '\s+', ' ', 'g')) AS n
+  FROM documents
+)
+SELECT md5(n) AS norm_md5, min(doc_id) AS keeper_id, count(*) AS dup_count
+FROM norm GROUP BY n
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1042,6 +1064,7 @@ TRAINING_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "mix_sample_docs": q_mix_sample_docs,
     "exact_dedup": q_exact_dedup,
+    "fuzzy_exact_dedup": q_fuzzy_exact_dedup,
     "doc_quality": q_doc_quality,
     "doc_repetition": q_doc_repetition,
     "doc_tfidf": q_doc_tfidf,
@@ -1070,6 +1093,7 @@ TRAINING_ORACLES = {
     "pack_sequences": packing.pack_oracle_sql(_PACK_BUDGET, _PACK_SHARDS),
     "mix_sample_docs": _mix_sample_oracle(),
     "exact_dedup": O_EXACT_DEDUP,
+    "fuzzy_exact_dedup": O_FUZZY_EXACT_DEDUP,
     "doc_quality": O_DOC_QUALITY,
     "doc_repetition": O_DOC_REPETITION,
     "doc_tfidf": O_DOC_TFIDF,

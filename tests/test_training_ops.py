@@ -344,3 +344,17 @@ def test_suppress_boilerplate_turns(spark):
     assert got == {("c1", 1), ("c2", 1), ("c4", 0), ("c4", 1)}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_fuzzy_exact_dedup_normalization(spark):
+    """Case/punctuation/whitespace re-serializations collapse; genuinely
+    different texts do not."""
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello   world"),
+        (3, "HELLO WORLD."),
+        (4, "goodbye world"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.keeper_id: r.dup_count for r in dedupe.fuzzy_exact_dedup(df).collect()}
+    assert out == {1: 3, 4: 1}
