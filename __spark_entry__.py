@@ -298,6 +298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_turns",
         "route_latency_quantiles",
         "fuzzy_exact_dedup",
+        "conv_quality",
+        "conv_integrity",
         # flagship + r3-new, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "boilerplate_turns",
     "route_latency_quantiles",
     "fuzzy_exact_dedup",
+    "conv_quality",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

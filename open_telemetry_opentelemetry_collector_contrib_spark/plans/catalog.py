@@ -161,6 +161,94 @@ WHERE text NOT IN (SELECT text FROM boiler)
 )
 
 
+def q_conv_quality(spark, sf_dir):
+    """Conversation-level quality roll-up for transcript training data:
+    per conv_id — turn/error/tool-call counts, parse-ok ratio, total
+    latency, and a composite keep flag (the SFT-corpus conversation filter:
+    parseable, not error-dominated). One aggregation on conv_id; on the
+    bucketed production layout (bucket(conv_id)) this is exchange-free,
+    same as the flagship windowed counts."""
+    df = pipeline.parsed(spark, sf_dir)
+    agg = df.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.sum(
+            F.when((F.col("level") == "ERROR") | (F.col("status") == "err"), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_errors"),
+        F.sum(
+            F.when((F.col("role") == "tool") & (F.col("tool") != ""), 1).otherwise(0)
+        ).cast("bigint").alias("n_tool_calls"),
+        F.sum(F.when(F.col("parse_ok"), 1).otherwise(0)).cast("bigint").alias("n_parsed"),
+        F.coalesce(F.sum("latency_ms"), F.lit(0)).cast("bigint").alias("total_latency_ms"),
+    )
+    parse_ratio = F.col("n_parsed").cast("double") / F.col("n_turns")
+    err_ratio = F.col("n_errors").cast("double") / F.col("n_turns")
+    return agg.select(
+        "conv_id", "n_turns", "n_errors", "n_tool_calls", "n_parsed",
+        "total_latency_ms",
+        F.floor(parse_ratio * 1_000_000).cast("bigint").alias("parse_ok_ppm"),
+        ((parse_ratio >= 0.9) & (err_ratio <= 0.5)).alias("keep"),
+    )
+
+
+O_CONV_QUALITY = (
+    _PREFIX
+    + _PARSED_CTE
+    + """
+, agg AS (
+  SELECT conv_id,
+    CAST(count(*) AS BIGINT) AS n_turns,
+    CAST(sum(CASE WHEN level = 'ERROR' OR status = 'err' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+    CAST(sum(CASE WHEN role = 'tool' AND tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+    CAST(sum(CASE WHEN level IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+    CAST(coalesce(sum(latency_ms), 0) AS BIGINT) AS total_latency_ms
+  FROM parsed GROUP BY conv_id
+)
+SELECT conv_id, n_turns, n_errors, n_tool_calls, n_parsed, total_latency_ms,
+  CAST(floor((CAST(n_parsed AS DOUBLE) / n_turns) * 1000000.0) AS BIGINT) AS parse_ok_ppm,
+  (CAST(n_parsed AS DOUBLE) / n_turns >= 0.9
+   AND CAST(n_errors AS DOUBLE) / n_turns <= 0.5) AS keep
+FROM agg
+"""
+)
+
+
+def q_conv_integrity(spark, sf_dir):
+    """Turn-ordering integrity audit — the north-rule invariant (stable
+    per-conv turn order) as a checkable table: per conv_id, turn count,
+    index range, distinct-index count, and a contiguity flag
+    (0..n-1 with no gaps or duplicates). A violation here means routed-row
+    order vs the reference collector's golden output cannot be byte-equal."""
+    t = pipeline.transcripts(spark, sf_dir)
+    agg = t.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.min("turn_idx").cast("bigint").alias("min_idx"),
+        F.max("turn_idx").cast("bigint").alias("max_idx"),
+        F.count_distinct("turn_idx").cast("bigint").alias("n_distinct_idx"),
+    )
+    return agg.withColumn(
+        "contiguous",
+        (F.col("min_idx") == 0)
+        & (F.col("max_idx") == F.col("n_turns") - 1)
+        & (F.col("n_distinct_idx") == F.col("n_turns")),
+    )
+
+
+O_CONV_INTEGRITY = (
+    _PREFIX
+    + """
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(min(turn_idx) AS BIGINT) AS min_idx,
+  CAST(max(turn_idx) AS BIGINT) AS max_idx,
+  CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_distinct_idx,
+  (min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+   AND count(DISTINCT turn_idx) = count(*)) AS contiguous
+FROM transcripts_cte GROUP BY conv_id
+"""
+)
+
+
 def q_logdedup_transcripts(spark, sf_dir):
     df = pipeline.parsed(spark, sf_dir)
     out = dedup_ops.logdedup(
@@ -665,6 +753,8 @@ CATALOG_QUERIES = {
     "transform_statements": q_transform_statements,
     "logdedup_transcripts": q_logdedup_transcripts,
     "boilerplate_turns": q_boilerplate_turns,
+    "conv_quality": q_conv_quality,
+    "conv_integrity": q_conv_integrity,
     "sample_lcg_events": q_sample_lcg_events,
     "sample_hash_transcripts": q_sample_hash_transcripts,
     "delta_to_cumulative": q_delta_to_cumulative,
@@ -689,6 +779,8 @@ CATALOG_ORACLES = {
     "transform_statements": O_TRANSFORM,
     "logdedup_transcripts": O_LOGDEDUP,
     "boilerplate_turns": O_BOILERPLATE_TURNS,
+    "conv_quality": O_CONV_QUALITY,
+    "conv_integrity": O_CONV_INTEGRITY,
     "sample_lcg_events": O_SAMPLE_LCG,
     "sample_hash_transcripts": O_SAMPLE_HASH,
     "delta_to_cumulative": O_D2C,
