@@ -52,6 +52,20 @@ class TypedCol:
     t: str = "any"  # string|int|float|bool|bytes|map|slice|time|duration|nil|any
 
 
+def _chain_keys(tc: TypedCol, keys) -> TypedCol:
+    """Apply remaining ``[k]`` accessors to an already-resolved value.
+
+    Indexing past a SCALAR (e.g. ``attributes["metadata"]["uid"]`` on a
+    map<string,string> column) yields nil, matching the reference's
+    missing-nested-value semantics (`e2e_test.go` "complex indexing not
+    found"). Maps/structs index by name, slices by 0-based position."""
+    for k in keys:
+        if tc.t in ("string", "int", "float", "bool", "nil", "time", "duration"):
+            return TypedCol(F.lit(None), "nil")
+        tc = TypedCol(tc.col[k], "any")
+    return tc
+
+
 def _spark_type_to_ottl(dt: T.DataType) -> str:
     if isinstance(dt, T.StringType):
         return "string"
@@ -126,10 +140,11 @@ class LogContext:
             key = str(keys[0])
             # typed fast path: a flat column with the attribute's name
             if map_col == "attributes" and key in self.schema:
-                return self._col(key)
+                return _chain_keys(self._col(key), keys[1:])
             if map_col in self.schema:
-                return TypedCol(
-                    F.element_at(F.col(map_col), F.lit(key)), "string"
+                return _chain_keys(
+                    TypedCol(F.element_at(F.col(map_col), F.lit(key)), "string"),
+                    keys[1:],
                 )
             raise OTTLCompileError(f"cannot resolve attribute {key!r}")
         if segs == ("cache",):
@@ -201,6 +216,13 @@ def compile_value(node, ctx: LogContext) -> TypedCol:
         if node.name == "__list__":
             items = [compile_value(a, ctx) for a in node.args]
             return TypedCol(F.array(*[i.col for i in items]), "slice")
+        if node.name == "__map__":
+            # map value expression {"k": v, ...} -> named struct (the typed
+            # frame's heterogeneous-map rendering; IsMap sees type "map")
+            fields = [
+                compile_value(v, ctx).col.alias(k) for k, v in node.named
+            ]
+            return TypedCol(F.struct(*fields), "map")
         return fnlib.call_converter(node, ctx)
     if isinstance(node, Index):
         target = compile_value(node.target, ctx)

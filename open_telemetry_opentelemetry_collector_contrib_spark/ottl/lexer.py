@@ -31,7 +31,7 @@ _TOKEN_RE = re.compile(
   | (?P<STRING>"(?:\\.|[^"\\])*")
   | (?P<IDENT>[a-z_][a-zA-Z0-9_]*)
   | (?P<UIDENT>[A-Z][a-zA-Z0-9_]*)
-  | (?P<OP>==|!=|<=|>=|<|>|\+|\-|\*|/|\(|\)|\[|\]|,|\.|=)
+  | (?P<OP>==|!=|<=|>=|<|>|\+|\-|\*|/|\(|\)|\[|\]|\{|\}|:|,|\.|=)
     """,
     re.VERBOSE,
 )

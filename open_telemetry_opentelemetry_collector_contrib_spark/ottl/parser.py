@@ -183,7 +183,29 @@ class _Parser:
             return inner
         if self.at_op("["):
             return self.list_literal()
+        if self.at_op("{"):
+            return self.map_literal()
         raise OTTLSyntaxError(f"unexpected token {t.value!r} at {t.pos} in {self.src!r}")
+
+    def map_literal(self):
+        # map value expression (`pkg/ottl/LANGUAGE.md` map values:
+        # {"k": v, ...}; values may be any expression incl. nested maps)
+        self.expect_op("{")
+        pairs = []
+        if not self.at_op("}"):
+            while True:
+                kt = self.next()
+                if kt.kind != "STRING":
+                    raise OTTLSyntaxError(
+                        f"map literal key must be a string, got {kt.value!r} in {self.src!r}"
+                    )
+                self.expect_op(":")
+                pairs.append((kt.value, self.math_expr()))
+                if not self.at_op(","):
+                    break
+                self.next()
+        self.expect_op("}")
+        return FuncCall("__map__", named=tuple(pairs))
 
     def list_literal(self):
         self.expect_op("[")

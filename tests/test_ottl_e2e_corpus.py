@@ -400,3 +400,97 @@ def test_flatten_map_with_prefix(logs_map):
     # a MapType target is already flat; prefix still applies to its keys
     got = _attrs_after(logs_map, 'flatten(attributes, "p")')
     assert got == {f"p.{k}": v for k, v in BASE_ATTRS.items()}
+
+
+# --- remaining ottl-features statements (`e2e_test.go:983-1094`) -----------
+
+
+@pytest.fixture(scope="module")
+def logs_features(spark):
+    """Feature-block fixture: resource map, hex trace id, a foo struct for
+    nested indexing, plus the attributes map."""
+    df = spark.createDataFrame(
+        [("operationA", 1, "0102030405060708090a0b0c0d0e0f10", TS, "pass")],
+        "text string, severity_number int, trace_id string, ts timestamp, "
+        "foo_bar string",
+    )
+    attrs = F.create_map(
+        *[x for kv in BASE_ATTRS.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    res = F.create_map(F.lit("host.name"), F.lit("localhost"))
+    foo = F.struct(F.col("foo_bar").alias("bar"))
+    return (
+        df.withColumn("attributes", attrs)
+        .withColumn("resource", res)
+        .withColumn("foo", foo)
+        .drop("foo_bar")
+    )
+
+
+def test_feature_reach_upwards(logs_features):
+    got = _attrs_after(
+        logs_features,
+        'set(attributes["test"], "pass") '
+        'where resource.attributes["host.name"] == "localhost"',
+    )
+    assert got.get("test") == "pass"
+
+
+def test_feature_trace_id_hex_literal(logs_features):
+    got = _attrs_after(
+        logs_features,
+        'set(attributes["test"], "pass") '
+        "where trace_id == TraceID(0x0102030405060708090a0b0c0d0e0f10)",
+    )
+    assert got.get("test") == "pass"
+
+
+def test_feature_merge_maps_parsejson_where(logs_features):
+    got = _attrs_after(
+        logs_features,
+        'merge_maps(attributes, ParseJSON("{\\"json_test\\":\\"pass\\"}"), '
+        '"insert") where body == "operationA"',
+    )
+    assert got.get("json_test") == "pass"
+    assert got["http.method"] == "get"
+
+
+def test_feature_complex_indexing_found(logs_features):
+    # attributes["foo"] resolves to the typed foo struct; ["bar"] chains
+    got = _attrs_after(logs_features, 'set(attributes["test"], attributes["foo"]["bar"])')
+    assert got.get("test") == "pass"
+
+
+def test_feature_complex_indexing_not_found(logs_features):
+    # indexing past a scalar map value yields nil -> set is a no-op
+    got = _attrs_after(
+        logs_features, 'set(attributes["test"], attributes["metadata"]["uid"])'
+    )
+    assert "test" not in got
+
+
+def test_feature_ismap_map_literal(logs_flat):
+    out = apply_statement(
+        logs_flat,
+        'set(attributes["isMap"], IsMap({"foo": {"bar": "baz", "test": "pass"}}))',
+    )
+    assert out.collect()[0].isMap is True
+
+
+def test_feature_split_resource_index(logs_features):
+    got = _attrs_after(
+        logs_features,
+        'set(attributes["my.environment.2"], '
+        'Split(resource.attributes["host.name"],"h")[1])',
+    )
+    assert got.get("my.environment.2") == "ost"
+
+
+def test_map_literal_values_compile(logs_flat):
+    # map literal with path + converter values -> struct column
+    out = apply_statement(
+        logs_flat,
+        'set(attributes["m"], {"raw": body, "n": Len(body)})',
+    )
+    row = out.collect()[0]
+    assert row.m.raw == "operationA" and row.m.n == 10
