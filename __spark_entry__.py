@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_exact_dedup",
         "conv_quality",
         "conv_integrity",
+        "conv_sessions",
         # flagship + r3-new, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

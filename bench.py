@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "route_latency_quantiles",
     "fuzzy_exact_dedup",
     "conv_quality",
+    "conv_sessions",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

@@ -20,6 +20,49 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def session_split(
+    df: DataFrame,
+    source_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    gap_s: int = 86400,
+) -> DataFrame:
+    """Inactivity-gap sessionization: split each conversation into sessions
+    wherever consecutive turns are >= ``gap_s`` apart (the transcript analog
+    of session-window log grouping; long-running agent conversations get
+    segmented at idle gaps).
+
+    Semantics match Structured Streaming's ``F.session_window(ts, gap)``
+    half-open windows exactly (a turn at EXACTLY prev + gap starts a new
+    session — hence ``>=``), so the scale path for unbounded input is the
+    native streaming session window and this batch form is its
+    oracle-checkable twin (see test_streaming's parity case). Gap math is
+    integer microseconds (unix_micros) — no truncated-seconds boundary
+    drift vs engines computing exact timestamp differences.
+
+    Output: one row per (source, session_idx): n_turns, start_s, end_s.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(source_col).orderBy(us, order_col)
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull() | (us - prev >= gap_s * 1_000_000), 1).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        df.withColumn("__us", us)
+        .withColumn("__new", new_s)
+        .withColumn("session_idx", F.sum("__new").over(wc) - 1)
+    )
+    return (
+        sess.groupBy(source_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.floor(F.min("__us") / 1_000_000).cast("bigint").alias("start_s"),
+            F.floor(F.max("__us") / 1_000_000).cast("bigint").alias("end_s"),
+        )
+        .withColumn("session_idx", F.col("session_idx").cast("bigint"))
+    )
+
+
 def recombine(
     df: DataFrame,
     source_col: str,

@@ -249,6 +249,41 @@ FROM transcripts_cte GROUP BY conv_id
 )
 
 
+def q_conv_sessions(spark, sf_dir):
+    """Inactivity-gap sessionization (24 h gap): one row per conversation
+    session with turn count and epoch-second extent. Batch twin of the
+    Structured Streaming session_window path — semantics aligned to the
+    half-open streaming window (>= gap starts a new session), gap math in
+    integer microseconds (operators/recombine.py session_split)."""
+    t = pipeline.transcripts(spark, sf_dir)
+    return recombine_ops.session_split(t, gap_s=86400)
+
+
+O_CONV_SESSIONS = (
+    _PREFIX
+    + """
+, g AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS us,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 86400000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM transcripts_cte
+  WINDOW w AS (PARTITION BY conv_id ORDER BY epoch_us(ts), turn_idx)
+), s AS (
+  SELECT conv_id, us,
+         sum(new_s) OVER (PARTITION BY conv_id ORDER BY us, turn_idx
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM g
+)
+SELECT conv_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(floor(min(us) / 1000000) AS BIGINT) AS start_s,
+       CAST(floor(max(us) / 1000000) AS BIGINT) AS end_s
+FROM s GROUP BY conv_id, session_idx
+"""
+)
+
+
 def q_logdedup_transcripts(spark, sf_dir):
     df = pipeline.parsed(spark, sf_dir)
     out = dedup_ops.logdedup(
@@ -755,6 +790,7 @@ CATALOG_QUERIES = {
     "boilerplate_turns": q_boilerplate_turns,
     "conv_quality": q_conv_quality,
     "conv_integrity": q_conv_integrity,
+    "conv_sessions": q_conv_sessions,
     "sample_lcg_events": q_sample_lcg_events,
     "sample_hash_transcripts": q_sample_hash_transcripts,
     "delta_to_cumulative": q_delta_to_cumulative,
@@ -781,6 +817,7 @@ CATALOG_ORACLES = {
     "boilerplate_turns": O_BOILERPLATE_TURNS,
     "conv_quality": O_CONV_QUALITY,
     "conv_integrity": O_CONV_INTEGRITY,
+    "conv_sessions": O_CONV_SESSIONS,
     "sample_lcg_events": O_SAMPLE_LCG,
     "sample_hash_transcripts": O_SAMPLE_HASH,
     "delta_to_cumulative": O_D2C,

@@ -213,3 +213,63 @@ def test_streaming_span_context_transform_parity(spark, tmp_path):
     assert got == batch and len(got) == 256
     ks = {r[2] for r in got}
     assert ks == {"Internal", "Server", "Client", "Producer", "Consumer"}
+
+
+def test_streaming_session_window_matches_batch_split(spark, tmp_path):
+    """The native Structured Streaming session window (the 100 TB unbounded
+    path for inactivity-gap sessionization) produces the same sessions as
+    the batch session_split twin: same (conv, n_turns, start_s) tuples for
+    a 1-hour gap over bursty synthetic conversations."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators.recombine import (
+        session_split,
+    )
+
+    base = datetime(2024, 4, 1, 0, 0, 0)
+    rows = []
+    for c in range(6):
+        t = base + timedelta(minutes=7 * c)
+        for i in range(20):
+            # bursts of 4-6 turns minutes apart, then a multi-hour gap
+            step = timedelta(minutes=3) if i % 5 else timedelta(hours=2 + c % 3)
+            t = t + step
+            rows.append((f"c{c}", i, t))
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, schema).repartition(3).write.parquet(src)
+
+    batch = {
+        (r.conv_id, r.n_turns, r.start_s)
+        for r in session_split(
+            spark.read.parquet(src), gap_s=3600
+        ).collect()
+    }
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withWatermark("ts", "30 days")
+        .groupBy(F.session_window("ts", "1 hour"), F.col("conv_id"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("n_turns").cast("bigint").alias("n_turns"),
+            F.unix_timestamp(F.col("session_window.start")).alias("start_s"),
+        )
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql("select * from sess_stream").collect()}
+    assert got == batch and len(got) > 20
