@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_quality",
         "conv_integrity",
         "conv_sessions",
+        "dataset_split",
         # flagship + r3-new, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "fuzzy_exact_dedup",
     "conv_quality",
     "conv_sessions",
+    "dataset_split",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

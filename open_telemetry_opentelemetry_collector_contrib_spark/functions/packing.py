@@ -112,6 +112,37 @@ SELECT doc_id, shard, bin, n_tokens FROM pack
 """
 
 
+def dataset_split(
+    df: DataFrame,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    seed: str = "split7",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash thresholds:
+    split = test if md5_48(seed || id) % 1e6 < test*1e6, else val if
+    < (test+val)*1e6, else train.
+
+    The standard corpus-prep split primitive: no RNG state, stable under
+    re-runs/resumes/repartitioning (assignment is a pure function of the
+    id), leak-free by construction (an id can never change splits between
+    runs), and a pure Column projection — no shuffle, evaluated inside the
+    scan stage. Different ``seed`` values give independent splits.
+    Engine-portable (md5-48 arithmetic reproduces bit-exactly in DuckDB).
+    """
+    bucket = F.pmod(
+        md5_48(F.concat(F.lit(seed), F.col(id_col).cast("string"))), F.lit(1_000_000)
+    )
+    t_th = int(test_frac * 1_000_000)
+    v_th = t_th + int(val_frac * 1_000_000)
+    return df.withColumn(
+        "split",
+        F.when(bucket < t_th, F.lit("test"))
+        .when(bucket < v_th, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -1048,6 +1048,25 @@ def q_mix_sample_docs(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic hash-threshold train/val/test assignment (5%/5%) —
+    leak-free by construction (split is a pure function of doc_id), no
+    shuffle (functions/packing.py dataset_split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.dataset_split(docs).select("doc_id", "source", "split")
+
+
+def _dataset_split_oracle() -> str:
+    hx = _HX.format(s="'split7' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, source,
+  CASE WHEN ({hx}) % 1000000 < 50000 THEN 'test'
+       WHEN ({hx}) % 1000000 < 100000 THEN 'val'
+       ELSE 'train' END AS split
+FROM documents
+"""
+
+
 def _mix_sample_oracle() -> str:
     hx = _HX.format(s="'mix42' || CAST(doc_id AS VARCHAR)")
     whens = " ".join(
@@ -1063,6 +1082,7 @@ WHERE ({hx}) % 1000000 < (CASE {whens} ELSE {int(_MIX_DEFAULT * 1_000_000)} END)
 TRAINING_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "mix_sample_docs": q_mix_sample_docs,
+    "dataset_split": q_dataset_split,
     "exact_dedup": q_exact_dedup,
     "fuzzy_exact_dedup": q_fuzzy_exact_dedup,
     "doc_quality": q_doc_quality,
@@ -1092,6 +1112,7 @@ TRAINING_QUERIES = {
 TRAINING_ORACLES = {
     "pack_sequences": packing.pack_oracle_sql(_PACK_BUDGET, _PACK_SHARDS),
     "mix_sample_docs": _mix_sample_oracle(),
+    "dataset_split": _dataset_split_oracle(),
     "exact_dedup": O_EXACT_DEDUP,
     "fuzzy_exact_dedup": O_FUZZY_EXACT_DEDUP,
     "doc_quality": O_DOC_QUALITY,

@@ -358,3 +358,22 @@ def test_fuzzy_exact_dedup_normalization(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r.keeper_id: r.dup_count for r in dedupe.fuzzy_exact_dedup(df).collect()}
     assert out == {1: 3, 4: 1}
+
+
+def test_dataset_split_deterministic_and_disjoint(spark):
+    """Split assignment is a pure function of doc_id: stable across calls,
+    partitions exhaustively, fractions near nominal, and changing the seed
+    reshuffles membership."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.functions import packing
+
+    docs = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in packing.dataset_split(docs).collect()}
+    b = {r.doc_id: r.split for r in packing.dataset_split(docs).collect()}
+    assert a == b
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n for s in ("train", "val", "test")}
+    assert 0.85 < frac["train"] < 0.95
+    assert 0.03 < frac["val"] < 0.07 and 0.03 < frac["test"] < 0.07
+    c = {r.doc_id: r.split for r in packing.dataset_split(docs, seed="other").collect()}
+    moved = sum(1 for k in a if a[k] != c[k])
+    assert moved > 100  # independent split under a different seed
