@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_integrity",
         "conv_sessions",
         "dataset_split",
+        "ann_quantized_topk",
         # flagship + r3-new, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "conv_quality",
     "conv_sessions",
     "dataset_split",
+    "ann_quantized_topk",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

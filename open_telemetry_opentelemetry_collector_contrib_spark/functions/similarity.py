@@ -244,6 +244,84 @@ def cosine_topk_ivf(
     )
 
 
+def quantize_vec(v: Column) -> Column:
+    """Deterministic int8 scalar quantization: q_i = floor(x_i * 127 / m)
+    with m = max|x_i| per vector. floor (not round) on purpose — floor is
+    bit-identical across engines while round-half rules differ; the
+    quantizer's definition is ours to pick, reproducibility wins.
+
+    Cosine over quantized vectors needs NO dequantization: the per-vector
+    scales cancel (cos(q_a*s_a, q_b*s_b) = Σq_a q_b / (|q_a||q_b|)), so
+    similarity search runs on integer dot products — the memory-bandwidth
+    form you want when the corpus no longer fits hot storage as float32.
+    Zero vectors quantize to zeros."""
+    # bind the per-vector max so it isn't re-evaluated per element
+    # (HOF lambdas have no CSE; a naive reference recomputes max dim times)
+    bound = F.transform(
+        F.array(
+            F.struct(
+                v.alias("v"),
+                F.array_max(F.transform(v, lambda x: F.abs(x))).alias("m"),
+            )
+        ),
+        lambda s: F.when(
+            s["m"] > 0,
+            F.transform(s["v"], lambda x: F.floor(x * 127.0 / s["m"]).cast("long")),
+        ).otherwise(F.transform(s["v"], lambda x: F.lit(0).cast("long"))),
+    )
+    return bound[0]
+
+
+def cosine_topk_quantized(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors: integer dot products
+    and integer squared norms (exact in both engines — no float-sum order
+    sensitivity at all), one double division + sqrt at the end. Same plan
+    shape as the float brute force (broadcast queries, per-query window
+    top-k); at scale the quantized corpus is ~4x smaller on disk and in
+    shuffle. Output: (query_id, vec_id, rank, qcos_ppb)."""
+    from pyspark.sql import Window
+
+    corpus = embeddings.select(
+        F.col(id_col), quantize_vec(_as_double(F.col(vec_col))).alias("__cq")
+    )
+    q = queries.select(
+        F.col(query_id_col), quantize_vec(_as_double(F.col(vec_col))).alias("__qq")
+    )
+
+    def idot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = corpus.join(F.broadcast(q)).withColumn(
+        "__cos",
+        idot(F.col("__cq"), F.col("__qq")).cast("double")
+        / F.sqrt((idot(F.col("__cq"), F.col("__cq"))
+                  * idot(F.col("__qq"), F.col("__qq"))).cast("double")),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "rank",
+            F.floor(F.col("__cos") * 1_000_000_000).cast("bigint").alias("qcos_ppb"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,

@@ -668,6 +668,51 @@ GROUP BY b.query_id
 """
 
 
+def q_ann_quantized_topk(spark, sf_dir):
+    """Brute-force top-k over int8 scalar-quantized vectors
+    (functions/similarity.py quantize_vec — deterministic floor quantizer;
+    scales cancel in cosine, so scoring is integer dot products: exact in
+    both engines, no float-sum order sensitivity). The 4x-smaller corpus
+    representation is the memory-bandwidth scale path for brute-force
+    rescoring stages."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_quantized(
+        emb, _queries_df(spark, sf_dir), k=_ANN_K
+    )
+
+
+O_ANN_QUANTIZED = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), mx AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM base
+), qz AS (
+  SELECT vec_id,
+    CASE WHEN m > 0
+      THEN [CAST(floor(v[i] * 127.0 / m) AS BIGINT) for i in range(1, {_DIM + 1})]
+      ELSE [CAST(0 AS BIGINT) for i in range(1, {_DIM + 1})] END AS q
+  FROM mx
+), qs AS (
+  SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < {_NUM_QUERIES}
+), scored AS (
+  SELECT s.query_id, c.vec_id,
+    CAST(list_sum([c.q[i] * s.qq[i] for i in range(1, {_DIM + 1})]) AS DOUBLE)
+      / sqrt(CAST(list_sum([c.q[i] * c.q[i] for i in range(1, {_DIM + 1})])
+                  * list_sum([s.qq[i] * s.qq[i] for i in range(1, {_DIM + 1})])
+             AS DOUBLE)) AS cos
+  FROM qz c CROSS JOIN qs s
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+       CAST(floor(cos * 1000000000) AS BIGINT) AS qcos_ppb
+FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
 def _planted_embeddings(spark, sf_dir):
     """Embeddings plus deterministic planted near-duplicates: every
     vec_id % 25 == 0 row gets a copy at vec_id + 1000000 with 0.01 added to
@@ -1099,6 +1144,7 @@ TRAINING_QUERIES = {
     "ann_cosine_ivf": q_ann_ivf,
     "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
     "ann_ivf_recall": q_ann_ivf_recall,
+    "ann_quantized_topk": q_ann_quantized_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
     "frame_sample_plan": q_frame_sample_plan,
@@ -1130,6 +1176,7 @@ TRAINING_ORACLES = {
     "ann_ivf_fullprobe": O_ANN_BRUTEFORCE,
     # pruned IVF with an injected deterministic quantizer: full recall oracle
     "ann_ivf_recall": _ann_ivf_recall_oracle(),
+    "ann_quantized_topk": O_ANN_QUANTIZED,
     "embedding_near_dup": _near_dup_oracle(),
     # multimodal: pandas-UDF stub features -> rows-only
     "curation_pipeline": _curation_oracle(),

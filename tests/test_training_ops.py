@@ -377,3 +377,21 @@ def test_dataset_split_deterministic_and_disjoint(spark):
     c = {r.doc_id: r.split for r in packing.dataset_split(docs, seed="other").collect()}
     moved = sum(1 for k in a if a[k] != c[k])
     assert moved > 100  # independent split under a different seed
+
+
+def test_quantized_ann_recall_vs_float(spark):
+    """int8 scalar quantization preserves brute-force top-k almost exactly
+    (scales cancel in cosine; integer dot products)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in similarity.cosine_topk_bruteforce(emb, q, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    qr = similarity.cosine_topk_quantized(emb, q, k=10).collect()
+    hits = sum(1 for r in qr if r.vec_id in exact[r.query_id])
+    assert hits / 30 >= 0.9
+    # rank-1 is always the query itself (quantized self-cosine is maximal)
+    r1 = {r.query_id: r.vec_id for r in qr if r.rank == 1}
+    assert r1 == {0: 0, 1: 1, 2: 2}
