@@ -668,19 +668,12 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
             ),
             F.lit(""),
         )
-        os_name = F.coalesce(
-            F.when(ua.rlike(r"Windows NT"), F.lit("Windows")),
-            F.when(ua.rlike(r"Android"), F.lit("Android")),
-            F.when(ua.rlike(r"iPhone|iPad"), F.lit("iOS")),
-            F.when(ua.rlike(r"Mac OS X"), F.lit("macOS")),
-            F.when(ua.rlike(r"Linux"), F.lit("Linux")),
-            F.lit("Other"),
-        )
+        # exactly the three semconv keys the reference emits
+        # (func_useragent.go:41-46: Name/Original/Version, nothing else)
         pairs = [
             ("user_agent.original", ua),
             ("user_agent.name", browser_name),
             ("user_agent.version", version),
-            ("os.name", os_name),
         ]
         entries = [
             F.when(c.isNotNull(), F.struct(F.lit(k).alias("key"), c.alias("value")))

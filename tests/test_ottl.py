@@ -323,27 +323,26 @@ def test_duration_and_time_math(logs):
 
 
 @pytest.mark.parametrize(
-    "ua,name,os_name",
+    "ua,name",
     [
         (
             "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/91.0.4472.124 Safari/537.36",
             "Chrome",
-            "Windows",
         ),
-        ("curl/8.1.2", "curl", "Other"),
+        ("curl/8.1.2", "curl"),
         (
             "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",
             "Firefox",
-            "Linux",
         ),
     ],
 )
-def test_user_agent_converter(spark, ua, name, os_name):
+def test_user_agent_converter(spark, ua, name):
+    # exactly the reference's three semconv keys (func_useragent.go:41-46)
     df = spark.createDataFrame([(ua,)], ["ua"])
     out = apply_statement(df, "set(parsed, UserAgent(ua))").collect()[0].parsed
     assert out["user_agent.name"] == name
-    assert out["os.name"] == os_name
     assert out["user_agent.original"] == ua
+    assert set(out) <= {"user_agent.name", "user_agent.original", "user_agent.version"}
 
 
 def test_registry_names_all_dispatchable(spark):

@@ -203,6 +203,14 @@ SCALAR_CASES = [
      '"!", "+", true))', "k1!v1+k2!v2"),
     ('set(attributes["test"], ToKeyValueString(ParseKeyValue("k1=v1 k2=v2=v3"'
      '), "=", " ", true))', 'k1=v1 k2="v2=v3"'),
+    ('set(attributes["test"], ConvertAttributesToElementsXML('
+     '"<Log id=\\"1\\"><Message>This is a log message!</Message></Log>"))',
+     "<Log><Message>This is a log message!</Message><id>1</id></Log>"),
+    ('set(attributes["test"], ConvertTextToElementsXML("<a><b/>foo</a>"))',
+     "<a><b></b><value>foo</value></a>"),
+    ('set(attributes["test"], ConvertTextToElementsXML('
+     '"<a><b/>foo</a><c><b/>bar</c>", "/a", "custom"))',
+     "<a><b></b><custom>foo</custom></a><c><b></b>bar</c>"),
 ]
 
 
@@ -233,6 +241,9 @@ MAP_CASES = [
     ('set(attributes["test"], ParseCSV("val1;val2;val3",'
      '"header1|header2|header3",";","|","strict"))',
      {"header1": "val1", "header2": "val2", "header3": "val3"}),
+    ('set(attributes["test"], UserAgent("curl/7.81.0"))',
+     {"user_agent.original": "curl/7.81.0", "user_agent.name": "curl",
+      "user_agent.version": "7.81.0"}),
 ]
 
 
@@ -300,6 +311,15 @@ def test_feature_body_concat_eq(logs_flat):
         'set(attributes["test"], "pass") where body == Concat(["operation", "A"], "")',
     )
     assert out.collect()[0].test == "pass"
+
+
+def test_convertcase_path_arg(logs_map):
+    # ConvertCase over a map-attribute path (`e2e_test.go:351`)
+    got = _attrs_after(
+        logs_map,
+        'set(attributes["test"], ConvertCase(attributes["http.method"], "upper"))',
+    )
+    assert got.get("test") == "GET"
 
 
 def test_feature_truncate_time(logs_flat):
