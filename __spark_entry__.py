@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_sessions",
         "dataset_split",
         "ann_quantized_topk",
+        "expo_cumulative",
         # flagship + r3-new, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "conv_sessions",
     "dataset_split",
     "ann_quantized_topk",
+    "expo_cumulative",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

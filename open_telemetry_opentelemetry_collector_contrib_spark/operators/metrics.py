@@ -33,6 +33,76 @@ def delta_to_cumulative(
     return df.withColumn(out_col, F.sum(value_col).over(w))
 
 
+def expo_cumulative(
+    df: DataFrame,
+    series_cols: list[str],
+    window_col: str = "window_id",
+    scale_col: str = "scale",
+    idx_col: str = "idx",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """deltatocumulative for EXPONENTIAL histograms with scale
+    reconciliation (`deltatocumulativeprocessor/internal/data/expo/scale.go:
+    43-90` Downscale/Collapse + `merge.go:12-37` Merge): the cumulative
+    histogram at time t is the bucket-wise sum of all deltas <= t, each
+    downscaled to the running MINIMUM scale seen so far (upscaling would
+    fabricate distribution detail — the reference panics on it; downscale
+    collapses bucket pairs, absolute index i -> floor(i/2) per scale step,
+    exactly the offset-evening + halving Collapse performs).
+
+    Input: one row per (series, window, scale, bucket idx, count) delta.
+    Output: one row per (series, window, target scale, rescaled idx,
+    cumulative count).
+
+    floor-division of possibly-negative indices is expressed as
+    (i - pmod(i, 2^d)) / 2^d — engine-portable (SQL integer division
+    truncates toward zero, which is wrong for negative bucket indices).
+
+    Scale note: this batch form (per-series range join onto the output
+    grid) is the oracle-checkable twin; the unbounded-input path is the
+    stateful streaming merge (same applyInPandasWithState pattern as the
+    numeric d2c in streaming/stateful.py), where each state update merges
+    one delta into the running buckets in O(buckets).
+    """
+    targets = df.select(*series_cols, window_col, scale_col).withColumn(
+        "target_scale",
+        F.min(scale_col).over(
+            Window.partitionBy(*series_cols)
+            .orderBy(window_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).select(*series_cols, window_col, "target_scale").distinct()
+
+    d = df.select(
+        *[F.col(c).alias(f"d_{c}") for c in series_cols],
+        F.col(window_col).alias("d_window"),
+        F.col(scale_col).alias("d_scale"),
+        F.col(idx_col).alias("d_idx"),
+        F.col(cnt_col).alias("d_cnt"),
+    )
+    cond = F.lit(True)
+    for c in series_cols:
+        cond = cond & (F.col(f"d_{c}") == F.col(c))
+    cond = cond & (F.col("d_window") <= F.col(window_col))
+    joined = targets.join(d, cond)
+    # downscale d_idx from d_scale to target_scale (d_scale >= target by
+    # construction: target is the running min over <= t)
+    p = F.pow(F.lit(2.0), (F.col("d_scale") - F.col("target_scale"))).cast("long")
+    idx_new = ((F.col("d_idx") - F.pmod(F.col("d_idx"), p)) / p).cast("long")
+    return (
+        joined.withColumn("r_idx", idx_new)
+        .groupBy(*series_cols, window_col, "target_scale", "r_idx")
+        .agg(F.sum("d_cnt").cast("bigint").alias("cum_cnt"))
+        .select(
+            *series_cols,
+            F.col(window_col).cast("bigint").alias(window_col),
+            F.col("target_scale").cast("bigint").alias("scale"),
+            F.col("r_idx").cast("bigint").alias("idx"),
+            "cum_cnt",
+        )
+    )
+
+
 def cumulative_to_delta(
     df: DataFrame, keys: list[str], value_col: str, ts_col: str = "ts",
     out_col: str = "delta", first_point: str = "drop",

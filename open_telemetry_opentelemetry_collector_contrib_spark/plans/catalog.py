@@ -161,6 +161,60 @@ WHERE text NOT IN (SELECT text FROM boiler)
 )
 
 
+def q_expo_cumulative(spark, sf_dir):
+    """deltatocumulative for exponential histograms with scale
+    reconciliation (`data/expo` Downscale/Merge). Synthetic delta
+    histogram points are derived from events with deterministic integer
+    arithmetic (series=event_type, alternating per-window scales, bucket
+    idx spread over negatives and positives) so the downscale's
+    floor-division-of-negative-indices path is exercised and the whole
+    merge is hash-checked vs DuckDB (operators/metrics.py
+    expo_cumulative)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    deltas = (
+        ev.select(
+            F.col("event_type").alias("series"),
+            win.alias("window_id"),
+            (F.lit(2) - F.pmod(win, F.lit(2))).cast("bigint").alias("scale"),
+            (F.pmod(F.col("event_id") * 7, F.lit(37)) - F.lit(12))
+            .cast("bigint")
+            .alias("idx"),
+        )
+        .groupBy("series", "window_id", "scale", "idx")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return metric_ops.expo_cumulative(deltas, series_cols=["series"])
+
+
+O_EXPO_CUMULATIVE = """
+WITH deltas AS (
+  SELECT event_type AS series,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS window_id,
+         CAST(2 - (CAST(floor(epoch(ts) / 86400) AS BIGINT) % 2) AS BIGINT) AS scale,
+         CAST(((event_id * 7) % 37 + 37) % 37 - 12 AS BIGINT) AS idx,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3, 4
+), targets AS (
+  SELECT DISTINCT series, window_id,
+         min(scale) OVER (PARTITION BY series ORDER BY window_id
+                          ROWS UNBOUNDED PRECEDING) AS target_scale
+  FROM deltas
+), joined AS (
+  SELECT t.series, t.window_id, t.target_scale,
+         d.idx, d.cnt,
+         CAST(power(2, d.scale - t.target_scale) AS BIGINT) AS p
+  FROM targets t JOIN deltas d
+    ON d.series = t.series AND d.window_id <= t.window_id
+)
+SELECT series, window_id, CAST(target_scale AS BIGINT) AS scale,
+       CAST((idx - ((idx % p + p) % p)) / p AS BIGINT) AS idx,
+       CAST(sum(cnt) AS BIGINT) AS cum_cnt
+FROM joined
+GROUP BY series, window_id, target_scale, 4
+"""
+
+
 def q_conv_quality(spark, sf_dir):
     """Conversation-level quality roll-up for transcript training data:
     per conv_id — turn/error/tool-call counts, parse-ok ratio, total
@@ -791,6 +845,7 @@ CATALOG_QUERIES = {
     "conv_quality": q_conv_quality,
     "conv_integrity": q_conv_integrity,
     "conv_sessions": q_conv_sessions,
+    "expo_cumulative": q_expo_cumulative,
     "sample_lcg_events": q_sample_lcg_events,
     "sample_hash_transcripts": q_sample_hash_transcripts,
     "delta_to_cumulative": q_delta_to_cumulative,
@@ -818,6 +873,7 @@ CATALOG_ORACLES = {
     "conv_quality": O_CONV_QUALITY,
     "conv_integrity": O_CONV_INTEGRITY,
     "conv_sessions": O_CONV_SESSIONS,
+    "expo_cumulative": O_EXPO_CUMULATIVE,
     "sample_lcg_events": O_SAMPLE_LCG,
     "sample_hash_transcripts": O_SAMPLE_HASH,
     "delta_to_cumulative": O_D2C,

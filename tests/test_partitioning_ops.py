@@ -73,3 +73,32 @@ def test_metricstransform_label_operations(spark):
     rows = combined.collect()
     assert len(rows) == 3 and {r.metric for r in rows} == {"m1", "m2"}
     assert {r.metric_name for r in rows} == {"m_all"}
+
+
+def test_expo_cumulative_collapse_semantics(spark):
+    """data/expo Collapse parity: downscaling by one scale step merges
+    bucket pairs aligned to index 0, absolute index i -> floor(i/2) — for
+    NEGATIVE indices too (i=-1,-2 -> -1). A later lower-scale delta forces
+    the earlier higher-scale buckets down (running-min reconciliation),
+    and cumulative counts are bucket-wise sums."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators.metrics import (
+        expo_cumulative,
+    )
+
+    rows = [
+        # window 0 at scale 1: one count in each of idx -2, -1, 0, 1
+        ("s", 0, 1, -2, 1), ("s", 0, 1, -1, 1), ("s", 0, 1, 0, 1), ("s", 0, 1, 1, 1),
+        # window 1 arrives at scale 0 -> everything reconciles to scale 0
+        ("s", 1, 0, 0, 5),
+    ]
+    df = spark.createDataFrame(rows, ["series", "window_id", "scale", "idx", "cnt"])
+    out = {(r.window_id, r.scale, r.idx): r.cum_cnt
+           for r in expo_cumulative(df, ["series"]).collect()}
+    # window 0: no reconciliation yet, buckets pass through at scale 1
+    assert out[(0, 1, -2)] == 1 and out[(0, 1, -1)] == 1
+    assert out[(0, 1, 0)] == 1 and out[(0, 1, 1)] == 1
+    # window 1: scale 0 -> {-2,-1} -> -1 (cnt 2), {0,1} -> 0 (cnt 2) plus
+    # the new delta's 5 at idx 0
+    assert out[(1, 0, -1)] == 2
+    assert out[(1, 0, 0)] == 2 + 5
+    assert (1, 0, 1) not in out and (1, 0, -2) not in out
