@@ -395,3 +395,103 @@ def test_quantized_ann_recall_vs_float(spark):
     # rank-1 is always the query itself (quantized self-cosine is maximal)
     r1 = {r.query_id: r.vec_id for r in qr if r.rank == 1}
     assert r1 == {0: 0, 1: 1, 2: 2}
+
+
+def _py_repetition(text):
+    """Independent plain-Python reference for repetition_signals (third
+    implementation triangulating the Spark array program and the DuckDB
+    relational twin)."""
+    import math
+    from collections import Counter
+
+    n_chars = len(text)
+    lines = text.split("\n")
+    nl = len(lines)
+    lc = Counter(lines)
+    dup_line = math.floor(((nl - len(lc)) / nl) * 1_000_000) if nl else 0
+    line_chars = sum(len(x) for x in lines)
+    dupchars = sum(len(x) for x in lines if lc[x] > 1)
+    dup_line_char = (
+        math.floor((dupchars / line_chars) * 1_000_000) if line_chars else 0
+    )
+    words = [w for w in __import__("re").split(r"\s+", text) if w]
+    bigrams = [" ".join(words[i : i + 2]) for i in range(len(words) - 1)]
+    top = 0
+    if bigrams and n_chars:
+        cnt = Counter(bigrams)
+        # tie-break: highest count, lexicographically smallest gram
+        bestc = max(cnt.values())
+        bestg = min(g for g, c in cnt.items() if c == bestc)
+        top = math.floor(((bestc * len(bestg)) / n_chars) * 1_000_000)
+    g5 = [" ".join(words[i : i + 5]) for i in range(len(words) - 4)]
+    c5 = Counter(g5)
+    d5 = sum(len(g) for g in g5 if c5[g] > 1)
+    dup5 = math.floor(min(d5 / n_chars, 1.0) * 1_000_000) if n_chars else 0
+    return dup_line, dup_line_char, top, dup5
+
+
+def test_repetition_signals_vs_python_reference(spark):
+    """Triangulation on pseudo-random dup-heavy docs: Spark == plain-Python
+    reference for all four signals."""
+    import random
+
+    rng = random.Random(99)
+    vocab = ["alpha", "beta", "gamma", "delta", "spam", "ham", "x1", "zz"]
+    docs = []
+    for i in range(24):
+        lines = []
+        for _ in range(rng.randint(1, 8)):
+            words = [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+            if rng.random() < 0.4 and lines:
+                lines.append(rng.choice(lines))  # planted duplicate line
+            else:
+                lines.append(" ".join(words))
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.dup_line_ppm, r.dup_line_char_ppm,
+                   r.top_bigram_char_ppm, r.dup_5gram_char_ppm)
+        for r in text_fns.repetition_signals(df).collect()
+    }
+    for i, text in docs:
+        assert got[i] == _py_repetition(text), (i, text)
+
+
+def test_session_split_vs_python_reference(spark):
+    """Triangulation for session_split: pseudo-random gap sequences vs a
+    plain-Python gap splitter with the same >= gap half-open rule."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(7)
+    rows = []
+    expected = {}
+    for c in range(8):
+        t = datetime(2024, 5, 1) + timedelta(minutes=c)
+        sessions = []
+        cur = []
+        for i in range(rng.randint(1, 30)):
+            gap = rng.choice([60, 600, 3600, 7200, 86400])
+            t = t + timedelta(seconds=gap)
+            if cur and gap >= 3600:
+                sessions.append(cur)
+                cur = []
+            cur.append((i, t))
+            rows.append((f"c{c}", i, t))
+        sessions.append(cur)
+        for si, sess in enumerate(sessions):
+            expected[(f"c{c}", si)] = (
+                len(sess),
+                int(sess[0][1].timestamp()),
+                int(sess[-1][1].timestamp()),
+            )
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators.recombine import (
+        session_split,
+    )
+
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    got = {
+        (r.conv_id, r.session_idx): (r.n_turns, r.start_s, r.end_s)
+        for r in session_split(df, gap_s=3600).collect()
+    }
+    assert got == expected
