@@ -273,3 +273,65 @@ def test_streaming_session_window_matches_batch_split(spark, tmp_path):
     q.awaitTermination()
     got = {tuple(r) for r in spark.sql("select * from sess_stream").collect()}
     assert got == batch and len(got) > 20
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data contract of the watermarked windowed counts (SURVEY
+    §2.12): in APPEND mode, a window only emits once the watermark passes
+    its end, and rows arriving in a later micro-batch with event times
+    older than the advanced watermark are dropped — the state bound that
+    makes unbounded windowed aggregation feasible. Two Spark subtleties
+    this test pins: the watermark lags one micro-batch (computed from the
+    PREVIOUS batch's max event time), and it is a LOWER-BOUND contract —
+    a late row is only guaranteed dropped once the window's state has been
+    evicted, which happens in the batch where the (lagged) watermark first
+    exceeds the window end. Hence four batches: on-time data, two
+    advancing batches (the second evicts + emits day-1), then the
+    straggler — which must be dropped, leaving day-1 at exactly the 5
+    on-time rows."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = tmp_path / "late_src"
+    src.mkdir()
+    day1 = [("a", datetime(2024, 6, 1, 10, 0, 0)) for _ in range(5)]
+    spark.createDataFrame(day1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    # batches 2-3: event time advances -> batch 3 runs with watermark past
+    # day-1's window end, evicting and emitting it
+    day11 = [("a", datetime(2024, 6, 11, 10, 0, 0)) for _ in range(3)]
+    spark.createDataFrame(day11, schema).coalesce(1).write.parquet(str(src / "b2"))
+    day12 = [("a", datetime(2024, 6, 12, 10, 0, 0)) for _ in range(2)]
+    spark.createDataFrame(day12, schema).coalesce(1).write.parquet(str(src / "b3"))
+    # batch 4: a day-1 straggler against evicted state -> dropped
+    late = [("a", datetime(2024, 6, 1, 11, 0, 0))]
+    spark.createDataFrame(late, schema).coalesce(1).write.parquet(str(src / "b4"))
+
+    counts = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "k", "n")
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("late_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.ws: r.n for r in spark.sql("select * from late_counts").collect()}
+    day1_ws = int(datetime(2024, 6, 1).timestamp())
+    day11_ws = int(datetime(2024, 6, 11).timestamp())
+    # straggler dropped: day-1 window closed with exactly the 5 on-time rows
+    assert got.get(day1_ws) == 5
+    assert got.get(day11_ws) == 3
