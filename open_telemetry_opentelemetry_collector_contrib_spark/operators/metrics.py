@@ -64,14 +64,23 @@ def expo_cumulative(
     numeric d2c in streaming/stateful.py), where each state update merges
     one delta into the running buckets in O(buckets).
     """
-    targets = df.select(*series_cols, window_col, scale_col).withColumn(
+    # pre-aggregate min(scale) per (series, window) BEFORE the running-min
+    # window: the contract is one scale per (series, window), but if input
+    # violates it this degrades deterministically (min wins) instead of the
+    # ROWS-frame running min depending on same-window tie order and
+    # .distinct() emitting two target_scale rows for one window. The
+    # groupBy is map-side combined and replaces the former distinct().
+    per_window = df.groupBy(*series_cols, window_col).agg(
+        F.min(scale_col).alias("_win_scale")
+    )
+    targets = per_window.withColumn(
         "target_scale",
-        F.min(scale_col).over(
+        F.min("_win_scale").over(
             Window.partitionBy(*series_cols)
             .orderBy(window_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
-    ).select(*series_cols, window_col, "target_scale").distinct()
+    ).select(*series_cols, window_col, "target_scale")
 
     d = df.select(
         *[F.col(c).alias(f"d_{c}") for c in series_cols],

@@ -10,6 +10,12 @@ transformed DataFrame (editors). Signatures follow each function's
 Divergences (documented):
 - ``ConvertCase`` camel mode approximates Go strcase for multi-rune edge
   cases.
+- ``ParseKeyValue``: splitting is guarded by double-quote parity only — a
+  pair/kv delimiter inside a *single*-quoted segment still splits
+  (parseutils.SplitString protects both quote kinds). Surrounding quotes
+  (double or single) are stripped one layer from keys and values; a
+  malformed pair (no kv delimiter) yields a NULL map (reference returns a
+  parse error; under error_mode=ignore both leave the target untouched).
 """
 
 from __future__ import annotations
@@ -58,20 +64,20 @@ _CP1252_TRANSLATE = (
 # ---------------------------------------------------------------------------
 
 
+def _fnv1a64_one(x):
+    """Exact Go hash/fnv FNV-1a 64-bit of one value, surfaced as int64
+    two's complement (the widening pdata PutInt performs)."""
+    if x is None:
+        return None
+    h = 14695981039346656037
+    for b in str(x).encode("utf-8"):
+        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def _fnv1a64_py(s):
-    """Exact Go hash/fnv FNV-1a 64-bit over a pandas string Series (plain
-    Python ints with a 2^64 mask; surfaced as int64 two's complement, the
-    same widening pdata PutInt performs)."""
-
-    def one(x):
-        if x is None:
-            return None
-        h = 14695981039346656037
-        for b in str(x).encode("utf-8"):
-            h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-        return h - (1 << 64) if h >= (1 << 63) else h
-
-    return s.map(one)
+    """_fnv1a64_one over a pandas string Series."""
+    return s.map(_fnv1a64_one)
 
 
 def _double_bits_py(s):
@@ -93,7 +99,12 @@ def _double_bits_udf(col: Column) -> Column:
     def f(s):
         import pandas as pd
 
-        return pd.Series(_double_bits_py(s))
+        # mask nulls BEFORE the bit view: astype('float64') turns None into
+        # NaN, whose bit pattern (fff8000000000000) is not null — nulls must
+        # propagate like the int/bool/string Hex branches do.
+        out = pd.Series(_double_bits_py(s.fillna(0.0)), index=s.index, dtype="Int64")
+        out[s.isna()] = pd.NA
+        return out
 
     return pandas_udf(f, "long")(col)
 
@@ -360,23 +371,36 @@ def call_converter(call: FuncCall, ctx: LogContext) -> TypedCol:
         # parseutils.ParseKeyValuePairs honors double quotes: a delimiter
         # inside quotes is data. JVM-side via the quote-parity lookahead
         # (split only where an EVEN number of quotes follows), then strip
-        # surrounding quotes from values — stays composable inside
-        # higher-order functions (merge_maps), unlike a Python UDF.
+        # one layer of surrounding double OR single quotes from keys and
+        # values (parseutils.SplitString strips both) — stays composable
+        # inside higher-order functions (merge_maps), unlike a Python UDF.
+        # A pair lacking the kv delimiter is a parse error in the reference
+        # (parseutils.ParseKeyValuePairs "cannot split ... into 2 items");
+        # surfaced here as a NULL result, which under error_mode=ignore
+        # makes the statement a no-op — same observable outcome.
         outside = '(?=(?:[^"]*"[^"]*")*[^"]*$)'
         pair_re = re.escape(pair) + outside
         delim_re = re.escape(delim) + outside
-        parts = F.split(F.trim(val(0).col), pair_re)
+
+        def _unq(c):
+            return (
+                F.when(c.rlike('^".*"$'), F.regexp_replace(c, '^"(.*)"$', "$1"))
+                .when(c.rlike("^'.*'$"), F.regexp_replace(c, "^'(.*)'$", "$1"))
+                .otherwise(c)
+            )
+
+        parts = F.filter(
+            F.split(F.trim(val(0).col), pair_re), lambda p: F.trim(p) != ""
+        )
         entries = F.transform(
             parts,
             lambda p: F.struct(
-                F.trim(F.split(p, delim_re, 2)[0]).alias("key"),
-                F.regexp_replace(
-                    F.trim(F.split(p, delim_re, 2)[1]), '^"(.*)"$', "$1"
-                ).alias("value"),
+                _unq(F.trim(F.split(p, delim_re, 2)[0])).alias("key"),
+                _unq(F.trim(F.split(p, delim_re, 2)[1])).alias("value"),
             ),
         )
-        entries = F.filter(entries, lambda e: (e["key"] != "") & e["value"].isNotNull())
-        return TypedCol(F.map_from_entries(entries), "map")
+        malformed = F.exists(parts, lambda p: F.size(F.split(p, delim_re, 2)) < 2)
+        return TypedCol(F.when(~malformed, F.map_from_entries(entries)), "map")
     if name == "ParseCSV":
         # func_parse_csv.go:28-38: delimiter, headerDelimiter (defaults to
         # delimiter), mode strict|lazyQuotes|ignoreQuotes. strict/lazyQuotes
@@ -818,7 +842,12 @@ def call_editor(df: DataFrame, call: FuncCall, ctx: LogContext, cond: Column | N
                     "SHA1": lambda c: F.sha1(c),
                     "SHA256": lambda c: F.sha2(c, 256),
                     "SHA512": lambda c: F.sha2(c, 512),
-                    "FNV": lambda c: F.xxhash64(c).cast("string"),
+                    # exact Go FNV-1a 64 (func_fnv.go), folded at compile
+                    # time: repl is a literal here (capture refs rejected
+                    # above), so the registered converter's value is a
+                    # constant — same result as func_replace_pattern.go:66-98
+                    # applying FNV per match, with zero runtime UDF cost.
+                    "FNV": lambda c: F.lit(str(_fnv1a64_one(repl))),
                 }
                 if fn_name not in hash_fns:
                     raise OTTLCompileError(f"replace_pattern: unknown function {fn_name}")
@@ -950,8 +979,11 @@ def call_editor(df: DataFrame, call: FuncCall, ctx: LogContext, cond: Column | N
         if pnode is not None:
             prefix = _lit_of(pnode, "flatten prefix") + "."
         depth = 1 << 30
-        if named.get("depth") is not None:
-            depth = int(_lit_of(named["depth"], "flatten depth"))
+        dnode = named.get("depth") or (args[2] if len(args) > 2 else None)
+        if dnode is not None:
+            depth = int(_lit_of(dnode, "flatten depth"))
+        if len(args) > 3:
+            raise OTTLCompileError("flatten takes at most (target, prefix, depth)")
         dtype = ctx.schema.get(key)
         if isinstance(dtype, T.MapType):
             new = F.col(key)

@@ -15,6 +15,7 @@ streaming-native path for unbounded inputs.
 from __future__ import annotations
 
 import uuid
+from collections import OrderedDict
 from collections.abc import Iterator
 
 import pandas as pd
@@ -67,8 +68,25 @@ def _d2c_fn(
 # briefly toward admitting. Note also that each Python worker process holds
 # its own registry, so the effective cap is per (worker, partition) — a
 # memory-protection backstop, not an exactness contract; documented
-# divergence.
-_ADMITTED: dict[tuple[str, int], set] = {}
+# divergence. The registry itself is LRU-bounded: a long-lived worker that
+# serves many successive queries would otherwise accumulate one admitted-key
+# set per (query, partition) forever — finished queries never signal the
+# worker, so eviction is by recency, sized far above any plausible number
+# of concurrently-live (query, partition) pairs on one worker.
+_ADMITTED: "OrderedDict[tuple[str, int], set]" = OrderedDict()
+_ADMITTED_MAX = 512
+
+
+def _admitted_set(token: str, pid: int) -> set:
+    key = (token, pid)
+    s = _ADMITTED.get(key)
+    if s is None:
+        s = _ADMITTED[key] = set()
+    else:
+        _ADMITTED.move_to_end(key)
+    while len(_ADMITTED) > _ADMITTED_MAX:
+        _ADMITTED.popitem(last=False)
+    return s
 
 
 def _partition_id() -> int:
@@ -92,7 +110,7 @@ def _d2c_guarded(
     def fn(key, pdf_iter, state: GroupState):
         adm = None
         if max_streams_per_partition is not None:
-            adm = _ADMITTED.setdefault((query_token, _partition_id()), set())
+            adm = _admitted_set(query_token, _partition_id())
         if max_stale_ms and state.hasTimedOut:
             state.remove()
             if adm is not None:
