@@ -88,36 +88,45 @@ def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_route_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """spanmetrics latency-percentile analog, exact DISCRETE quantiles per
-    route: one window pass (row_number + count over route) picks the
-    ceil(p*n)-th order statistic for p in {0.5, 0.9, 0.99} plus max/count.
-    Discrete (not interpolated) on purpose — integer order statistics are
+    route via a counting-sort formulation: ``latency_ms`` is a bounded
+    integer domain, so ``groupBy(route, latency_ms).count()`` (fully
+    parallel, map-side combined) reduces the corpus to a tiny per-route
+    value histogram; a cumulative sum over THAT histogram picks the
+    ceil(p*n)-th order statistic (smallest value whose cumulative count
+    reaches the rank) for p in {0.5, 0.9, 0.99} plus max/count. Discrete
+    (not interpolated) on purpose — integer order statistics are
     bit-portable across engines, where interpolated percentiles differ in
-    double-arithmetic association and can flip a floored hash. Scale: no
-    per-group collect; the only heavy step is the window shuffle on route,
-    and the follow-up aggregate is route-cardinality-sized. Matches DuckDB
-    ``quantile_disc`` (same ceil(p*n) element)."""
+    double-arithmetic association and can flip a floored hash. Scale: a
+    ``Window.partitionBy(route)`` over the RAW rows would shuffle the whole
+    corpus into as many tasks as there are routes (4 here — 4 tasks each
+    sorting ~25 TB at the 100 TB point); the histogram window instead runs
+    over routes × distinct latency values, a few thousand rows regardless
+    of corpus size. Matches DuckDB ``quantile_disc`` (same ceil(p*n)
+    element)."""
     from pyspark.sql import Window
 
     df = pipeline.routed(spark, sf_dir).filter(F.col("latency_ms").isNotNull())
+    hist = df.groupBy("route", "latency_ms").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("route").orderBy("latency_ms")
     wn = Window.partitionBy("route")
-    ranked = (
-        df.select("route", "latency_ms")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count("*").over(wn))
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wn)
     )
 
     def pick(p: float):
-        return F.max(
-            F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(p)), F.col("latency_ms"))
+        # smallest latency whose cumulative count reaches rank ceil(p*n)
+        return F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("n") * F.lit(p)), F.col("latency_ms")
+            )
         ).cast("bigint")
 
-    return ranked.groupBy("route").agg(
+    return cum.groupBy("route").agg(
         pick(0.5).alias("p50_ms"),
         pick(0.9).alias("p90_ms"),
         pick(0.99).alias("p99_ms"),
         F.max("latency_ms").cast("bigint").alias("max_ms"),
-        F.count("*").cast("bigint").alias("n_turns"),
+        F.sum("cnt").cast("bigint").alias("n_turns"),
     )
 
 
@@ -262,59 +271,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(_flagship_queries())
     # Stable priority ordering: queries whose driver correctness rows are
     # STALEST lead the dict so a prefix-sampling driver refreshes them first.
-    # Round 4: the 23 queries whose last green row is CORRECTNESS_r02 lead,
-    # then this round's changed/new queries (kind.string fix, recall gate),
-    # then the flagship pipeline; relative order of the rest is unchanged.
+    # Round 5: the 35 queries whose last green row is CORRECTNESS_r03 lead
+    # (CORRECTNESS_r03 minus CORRECTNESS_r04 — with the r4 sample fully
+    # green, these are the only rows one round old), then this round's
+    # changed queries, then the flagship pipeline.
     priority = [
-        # last driver record r02 — refresh these first
-        "aggregate_label_values",
-        "aggregate_labels",
-        "asof_join_scd",
-        "container_parse",
-        "count_with_defaults",
-        "doc_quality",
-        "exact_dedup",
-        "fingerprint_docs",
-        "lang_id",
-        "metrics_calculate",
-        "minhash_lsh_pairs",
-        "ngram_jaccard_pairs",
-        "range_lookup_geoip",
-        "resource_detect",
-        "schema_translate",
-        "severity_map",
-        "signal_to_metrics",
-        "simhash_docs",
-        "span_metrics_exponential",
-        "syslog_parse",
-        "syslog_rfc5424_parse",
-        "token_counts",
-        "uri_parse",
-        # changed or new this round
-        "span_context_transform",
-        "ann_ivf_recall",
-        "doc_repetition",
-        "doc_tfidf",
-        "boilerplate_turns",
+        # last driver record r03 — refresh these first
+        "ann_cosine_lsh",
+        "ann_cosine_topk",
+        "ann_ivf_fullprobe",
+        "chunk_documents",
+        "cumulative_to_delta",
+        "curation_pipeline",
+        "decontaminate_docs",
+        "dedup_components",
+        "delta_to_cumulative",
+        "delta_to_rate",
+        "embedding_near_dup",
+        "enrich_star_join",
+        "events_props_json",
+        "exceptions_connector",
+        "filter_match_props",
+        "grok_apache_clf",
+        "group_by_trace",
+        "interval_last",
+        "kv_roundtrip_events",
+        "logdedup_transcripts",
+        "otlpjson_explode",
+        "pii_scrub_docs",
+        "recombine_conversations",
+        "redact_attributes",
+        "route_match_all",
+        "sample_hash_transcripts",
+        "sample_lcg_events",
+        "sample_otep235_equalizing",
+        "sample_otep235_proportional",
+        "service_graph",
+        "span_metrics",
+        "span_metrics_exemplars",
+        "tail_sampling",
+        "tail_sampling_policies",
+        "transform_statements",
+        # changed this round (counting-sort quantiles)
         "route_latency_quantiles",
-        "fuzzy_exact_dedup",
-        "conv_quality",
-        "conv_integrity",
-        "conv_sessions",
-        "dataset_split",
-        "ann_quantized_topk",
-        "expo_cumulative",
-        # flagship + r3-new, keep fresh
+        # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",
         "pipeline_sum_latency",
         "transcripts",
         "pipeline_parse",
         "pipeline_enrich",
-        "spanevent_context_transform",
-        "metric_context_transform",
-        "pack_sequences",
-        "mix_sample_docs",
+        # rows-only entries — keep in the sampled prefix so their weaker
+        # checks stay fresh too
         "ann_cosine_ivf",
         "multimodal_features",
         "frame_sample_plan",

@@ -1,4 +1,9 @@
-"""Benchmark harness. Prints ONE JSON line.
+"""Benchmark harness. Prints ONE compact JSON line as its FINAL line
+(headline + per-query medians + scaling summary, kept under ~1.9 KB so the
+driver's bounded stdout-tail capture always parses it — r4's record went
+``parsed: null`` when min/max bands outgrew that window), preceded by a
+``BENCH_DETAIL:`` line and a ``BENCH_DETAIL.json`` side file carrying the
+dispersion bands and the full per-round scaling log.
 
 Sections:
 - per-query timings for a representative operator subset at
@@ -8,11 +13,12 @@ Sections:
   host's tenant load, hiding real regressions/improvements);
 - headline e2e parse->enrich->route->aggregate wall time + turns/sec;
 - **scaling evidence** (north rule: efficiency >= 0.8 from N to 4N
-  executors): the same e2e job over the same scaled-up input at local[4] and
-  local[16] (see run_scaling for why not 8/32), fresh subprocess/JVM per
+  executors): the same e2e job over the same scaled-up input at local[2] and
+  local[8] (see run_scaling for why not 8/32), fresh subprocess/JVM per
   trial, trials interleaved across rounds; headline efficiency =
   (tps_high / tps_low) / (cores_high / cores_low), MEDIAN of the plausible
-  rounds (best round + global-min pair published as diagnostics).
+  rounds — 5 rounds by default, with a declared pre-JVM-load1 exclusion
+  rule (best round + global-min pair published as diagnostics).
 
 The scaled input is a deterministic replication of the sf transcripts
 (conv_id gets a replica suffix -> more conversations, same shape), sized by
@@ -177,6 +183,12 @@ def run_e2e_on_scaled(spark) -> float:
 
 
 def scaling_worker(cores: int) -> None:
+    # load1 sampled BEFORE the JVM exists: at this instant our own
+    # contribution is one idle python process, so the reading is external
+    # tenant load (plus the decaying tail of the previous leg, bounded by
+    # that leg's core count). This feeds the declared exclusion rule in
+    # run_scaling.
+    load1_start = os.getloadavg()[0]
     from open_telemetry_opentelemetry_collector_contrib_spark.session import get_spark
 
     spark = get_spark(app_name=f"bench-scaling-{cores}", cores=cores)
@@ -186,13 +198,27 @@ def scaling_worker(cores: int) -> None:
     # samples (shared host: min approximates the uncontended time, which is
     # what executor scaling actually measures)
     secs = min(run_e2e_on_scaled(spark) for _ in range(2))
-    print(json.dumps({"cores": cores, "sec": round(secs, 4), "load1": os.getloadavg()[0]}))
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "sec": round(secs, 4),
+                "load1": os.getloadavg()[0],
+                "load1_start": round(load1_start, 2),
+            }
+        )
+    )
     spark.stop()
 
 
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))
-SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "5"))
+# A round is excluded when EITHER leg started with load1 above this bar:
+# external tenants were already burning >1/3 of the box before our worker
+# even created its JVM. Fixed a-priori, symmetric (applies to both legs,
+# never conditioned on the resulting efficiency), declared in the JSON.
+SCALE_LOAD1_EXCL = float(os.environ.get("SPARK_GRAFT_SCALE_LOAD1_EXCL", "12.0"))
 
 
 def run_scaling(sf_dir: str, rep: int) -> dict:
@@ -212,10 +238,14 @@ def run_scaling(sf_dir: str, rep: int) -> dict:
 
     Estimator (fixed a-priori, NOT conditioned on clearing the 0.8 bar):
     run exactly SCALE_ROUNDS rounds; headline efficiency = MEDIAN of the
-    plausible per-round ratios (ratios above the 1.15 cap mean the LOW level
-    was load-crushed — super-linear scaling beyond cache effects is not
-    real, so those rounds are excluded). The best round and the global-min
-    pair are published as diagnostics, not selected from."""
+    plausible per-round ratios. A round is implausible when (a) its ratio
+    exceeds the 1.15 cap (the LOW level was load-crushed — super-linear
+    scaling beyond cache effects is not real) or (b) EITHER leg's
+    pre-JVM load1 sample exceeds SCALE_LOAD1_EXCL (external tenants
+    already burning >1/3 of the box before the worker started; symmetric —
+    applies to both legs, never conditioned on the resulting efficiency).
+    Both rules and every excluded round are published in the JSON. The best
+    round and the global-min pair are diagnostics, not selected from."""
     import shutil
 
     rounds: list[dict] = []
@@ -242,20 +272,33 @@ def run_scaling(sf_dir: str, rep: int) -> dict:
             rec = json.loads(line)
             rnd[cores] = rec["sec"]
             rnd[f"load1_{cores}"] = rec.get("load1")
+            rnd[f"load1_start_{cores}"] = rec.get("load1_start")
         rnd["eff"] = (rnd[SCALE_LOW] / rnd[SCALE_HIGH]) / (SCALE_HIGH / SCALE_LOW)
+        rnd["excl"] = (
+            "eff_cap"
+            if rnd["eff"] > 1.15
+            else (
+                "load1"
+                if max(
+                    rnd[f"load1_start_{SCALE_LOW}"] or 0.0,
+                    rnd[f"load1_start_{SCALE_HIGH}"] or 0.0,
+                )
+                > SCALE_LOAD1_EXCL
+                else None
+            )
+        )
         rounds.append(rnd)
-    cap = 1.15
     gmin_low = min(r[SCALE_LOW] for r in rounds)
     gmin_high = min(r[SCALE_HIGH] for r in rounds)
     gmin_eff = (gmin_low / gmin_high) / (SCALE_HIGH / SCALE_LOW)
-    plausible = sorted(r["eff"] for r in rounds if r["eff"] <= cap)
+    plausible = sorted(r["eff"] for r in rounds if r["excl"] is None)
     if plausible:
         eff_median = plausible[len(plausible) // 2] if len(plausible) % 2 else (
             plausible[len(plausible) // 2 - 1] + plausible[len(plausible) // 2]
         ) / 2
         # the median round's raw seconds feed tps_low/high reporting
         med_round = min(
-            (r for r in rounds if r["eff"] <= cap),
+            (r for r in rounds if r["excl"] is None),
             key=lambda r: abs(r["eff"] - eff_median),
         )
         out = dict(med_round)
@@ -270,11 +313,23 @@ def run_scaling(sf_dir: str, rep: int) -> dict:
         }
     out["eff_median"] = round(out["eff"], 3)
     out["eff_best"] = round(
-        max((r["eff"] for r in rounds if r["eff"] <= cap), default=gmin_eff), 3
+        max((r["eff"] for r in rounds if r["excl"] is None), default=gmin_eff), 3
     )
     out["eff_gmin"] = round(gmin_eff, 3)
+    out["rounds_used"] = len(plausible)
+    out["rounds_total"] = len(rounds)
+    out["load1_excl_threshold"] = SCALE_LOAD1_EXCL
     out["rounds"] = [
-        {"low": r[SCALE_LOW], "high": r[SCALE_HIGH], "eff": round(r["eff"], 3)}
+        {
+            "low": r[SCALE_LOW],
+            "high": r[SCALE_HIGH],
+            "eff": round(r["eff"], 3),
+            "load1_start": [
+                r[f"load1_start_{SCALE_LOW}"],
+                r[f"load1_start_{SCALE_HIGH}"],
+            ],
+            "excl": r["excl"],
+        }
         for r in rounds
     ]
     return out
@@ -328,42 +383,69 @@ def main() -> None:
     # differ slightly from eff_median; the published figure is eff_median.
     tps_low = scaled_turns / times[SCALE_LOW]
     tps_high = scaled_turns / times[SCALE_HIGH]
-    efficiency = times["eff"]
 
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_parse_enrich_route_aggregate",
-                "value": round(e2e, 4),
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": timings_min,
-                "queries_max": timings_max,
-                "sf": sf,
-                "turns": n_turns,
-                "turns_per_sec": round(n_turns / e2e, 1),
-                "cores": cores,
-                "scaling": {
-                    "input_turns": scaled_turns,
-                    "cores_low": SCALE_LOW,
-                    "sec_low": times[SCALE_LOW],
-                    "tps_low": round(tps_low, 1),
-                    "cores_high": SCALE_HIGH,
-                    "sec_high": times[SCALE_HIGH],
-                    "tps_high": round(tps_high, 1),
-                    "efficiency": round(efficiency, 3),
-                    "eff_median": times.get("eff_median"),
-                    "eff_best": times.get("eff_best"),
-                    "eff_gmin": times.get("eff_gmin"),
-                    "rounds": times.get("rounds"),
-                    "ext_load1": {
-                        "low": times.get(f"load1_{SCALE_LOW}"),
-                        "high": times.get(f"load1_{SCALE_HIGH}"),
-                    },
-                },
-            }
-        )
-    )
+    # Dispersion bands and the full per-round scaling log are DETAIL: they
+    # go on their own earlier line and a side file, never the final line —
+    # the driver records only a bounded tail of stdout, and r4's record lost
+    # its headline when min/max grew the final line past that window.
+    detail = {
+        "queries_min": timings_min,
+        "queries_max": timings_max,
+        "scaling_rounds": times.get("rounds"),
+        "rounds_used": times.get("rounds_used"),
+        "rounds_total": times.get("rounds_total"),
+        "load1_excl_threshold": times.get("load1_excl_threshold"),
+        "ext_load1": {
+            "low": times.get(f"load1_{SCALE_LOW}"),
+            "high": times.get(f"load1_{SCALE_HIGH}"),
+        },
+    }
+    print("BENCH_DETAIL: " + json.dumps(detail, separators=(",", ":")))
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+
+    # FINAL LINE: compact (medians only, 3-decimal) — must stay well under
+    # the driver's ~2 KB stdout-tail capture.
+    final = {
+        "metric": "e2e_parse_enrich_route_aggregate",
+        "value": round(e2e, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / e2e, 1),
+        "cores": cores,
+        "scaling": {
+            "input_turns": scaled_turns,
+            "cores_low": SCALE_LOW,
+            "sec_low": round(times[SCALE_LOW], 2),
+            "tps_low": int(tps_low),
+            "cores_high": SCALE_HIGH,
+            "sec_high": round(times[SCALE_HIGH], 2),
+            "tps_high": int(tps_high),
+            "efficiency": round(times["eff"], 3),
+            "eff_median": times.get("eff_median"),
+            "eff_best": times.get("eff_best"),
+            "rounds_used": times.get("rounds_used"),
+            "rounds_total": times.get("rounds_total"),
+            "load1_excl": times.get("load1_excl_threshold"),
+            "detail": "BENCH_DETAIL.json",
+        },
+    }
+    line = json.dumps(final, separators=(",", ":"))
+    if len(line) > 1900:
+        # keep the machine-parseable record intact: shed per-query medians
+        # beyond the budget (names stay in BENCH_DETAIL.json) rather than
+        # letting the driver's tail capture truncate the line mid-JSON.
+        detail["queries_median_overflow"] = dict(final["queries"])
+        while len(line) > 1900 and final["queries"]:
+            final["queries"].popitem()
+            line = json.dumps(final, separators=(",", ":"))
+        print("BENCH_OVERFLOW: trimmed final-line queries to fit tail capture")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -166,6 +166,115 @@ def delta_to_cumulative_stream(
 
 
 # ---------------------------------------------------------------------------
+# streaming deltatocumulative for EXPONENTIAL histograms
+# ---------------------------------------------------------------------------
+
+EXPO_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("scale", T.LongType()),
+        T.StructField("idxs", T.ArrayType(T.LongType())),
+        T.StructField("cnts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _expo_fn_factory(series_cols: list[str]):
+    """Per-series streaming merge for exponential-histogram deltas
+    (`deltatocumulativeprocessor/internal/data/expo/scale.go:43-90`
+    Downscale/Collapse + `merge.go:12-37` Merge). State = (current scale,
+    running bucket map); each window's deltas merge in O(buckets):
+
+    - target scale = min(state scale, window's scale) — the running MIN, as
+      upscaling would fabricate distribution detail (the reference panics
+      on it);
+    - when the target drops, every existing state bucket collapses
+      idx -> floor(idx / 2^d) (Python ``//`` floors toward -inf, matching
+      the batch twin's (i - pmod(i, 2^d)) / 2^d for negative indices);
+    - incoming deltas downscale from their own scale, then add in;
+    - after each window the FULL cumulative histogram is emitted.
+
+    This is the unbounded-input production path whose batch twin
+    (operators/metrics.py expo_cumulative, a per-series range join onto
+    the output grid) is the oracle; parity is pinned in
+    tests/test_stateful_streaming.py. Windows must arrive in order within
+    a series (guaranteed per micro-batch by the sort below; cross-batch
+    ordering is the source's contract, as for every cumulative stream).
+    """
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            scale, idxs, cnts = state.get
+            buckets = dict(zip(idxs, cnts))
+        else:
+            scale, buckets = None, {}
+        pdfs = [pdf for pdf in pdf_iter]
+        out_rows: list[tuple] = []
+        if pdfs:
+            allpdf = pd.concat(pdfs, ignore_index=True)
+            for win, grp in allpdf.sort_values("window_id").groupby(
+                "window_id", sort=True
+            ):
+                wmin = int(grp["scale"].min())
+                target = wmin if scale is None else min(int(scale), wmin)
+                if scale is not None and target < int(scale):
+                    d = int(scale) - target
+                    collapsed: dict[int, int] = {}
+                    for i, c in buckets.items():
+                        ni = int(i) // (1 << d)
+                        collapsed[ni] = collapsed.get(ni, 0) + int(c)
+                    buckets = collapsed
+                scale = target
+                for row_scale, row_idx, row_cnt in zip(
+                    grp["scale"], grp["idx"], grp["cnt"]
+                ):
+                    d = int(row_scale) - target
+                    ni = int(row_idx) // (1 << d)
+                    buckets[ni] = buckets.get(ni, 0) + int(row_cnt)
+                for i in sorted(buckets):
+                    out_rows.append((*key, int(win), target, i, buckets[i]))
+        state.update(
+            (
+                None if scale is None else int(scale),
+                [int(i) for i in buckets],
+                [int(c) for c in buckets.values()],
+            )
+        )
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[*series_cols, "window_id", "scale", "idx", "cum_cnt"],
+            )
+
+    return fn
+
+
+def expo_cumulative_stream(
+    deltas: DataFrame, series_cols: list[str] | None = None
+) -> DataFrame:
+    """Streaming expo-histogram d2c over (series, window_id, scale, idx,
+    cnt) delta rows; output one row per (series, window, running-min scale,
+    collapsed idx, cumulative count) — the schema of the batch twin."""
+    series_cols = series_cols or ["series"]
+    fields = {f.name: f.dataType for f in deltas.schema.fields}
+    out_schema = T.StructType(
+        [T.StructField(c, fields[c]) for c in series_cols]
+        + [
+            T.StructField("window_id", T.LongType()),
+            T.StructField("scale", T.LongType()),
+            T.StructField("idx", T.LongType()),
+            T.StructField("cum_cnt", T.LongType()),
+        ]
+    )
+    return deltas.groupBy(*series_cols).applyInPandasWithState(
+        _expo_fn_factory(series_cols),
+        outputStructType=out_schema,
+        stateStructType=EXPO_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,  # availableNow-drain safe
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming tail sampling (decision-then-release with a decision cache)
 # ---------------------------------------------------------------------------
 

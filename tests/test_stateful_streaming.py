@@ -243,3 +243,119 @@ def test_streaming_tail_sampling_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from tail_stream").collect()
     }
     assert got == batch_kept and len(got) > 50
+
+
+# ---------------------------------------------------------------------------
+# streaming expo-histogram d2c parity
+# ---------------------------------------------------------------------------
+
+EXPO_SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("window_id", T.LongType()),
+        T.StructField("scale", T.LongType()),
+        T.StructField("idx", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def _expo_deltas(spark):
+    """The q_expo_cumulative synthetic delta construction (alternating
+    per-window scales, negative+positive bucket indices) over sf-unit
+    events."""
+    ev = spark.read.parquet(f"{SF_UNIT}/events.parquet")
+    win = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    return (
+        ev.select(
+            F.col("event_type").alias("series"),
+            win.alias("window_id"),
+            (F.lit(2) - F.pmod(win, F.lit(2))).cast("bigint").alias("scale"),
+            (F.pmod(F.col("event_id") * 7, F.lit(37)) - F.lit(12))
+            .cast("bigint")
+            .alias("idx"),
+        )
+        .groupBy("series", "window_id", "scale", "idx")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def test_streaming_expo_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState expo merge must equal the batch range-join
+    twin row-for-row on a drained availableNow stream (the production path
+    operators/metrics.py:62-66 promises)."""
+    deltas = _expo_deltas(spark)
+    src = os.path.join(str(tmp_path), "expo_deltas")
+    # series-partitioned files: every series' windows arrive within one
+    # micro-batch, so the per-batch window sort establishes order
+    deltas.repartition(4, "series").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(EXPO_SRC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful.expo_cumulative_stream(stream, series_cols=["series"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("expo_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.series, r.window_id, r.scale, r.idx): r.cum_cnt
+        for r in spark.sql("select * from expo_stream").collect()
+    }
+    exp = {
+        (r.series, r.window_id, r.scale, r.idx): r.cum_cnt
+        for r in m.expo_cumulative(
+            spark.read.parquet(src), series_cols=["series"]
+        ).collect()
+    }
+    assert len(got) == len(exp) > 0
+    assert got == exp
+
+
+def test_expo_state_carryover_across_batches(spark):
+    """State (scale + buckets) must survive micro-batch boundaries: feed two
+    successive batches through the state fn with a FakeState double — the
+    second batch's lower scale forces a Collapse of buckets accumulated by
+    the first — and pin the emissions to the batch twin over the union."""
+    import pandas as pd
+
+    fn = stateful._expo_fn_factory(["series"])
+    b1 = pd.DataFrame(
+        {
+            "series": ["s"] * 3,
+            "window_id": [0, 0, 1],
+            "scale": [2, 2, 2],
+            "idx": [-3, 4, 5],
+            "cnt": [7, 1, 2],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "series": ["s"] * 2,
+            "window_id": [2, 2],
+            "scale": [0, 0],  # scale drop: state buckets collapse by 2 steps
+            "idx": [-1, 1],
+            "cnt": [3, 4],
+        }
+    )
+    st = _FakeState()
+    out1 = pd.concat(list(fn(("s",), iter([b1]), st)), ignore_index=True)
+    out2 = pd.concat(list(fn(("s",), iter([b2]), st)), ignore_index=True)
+    got = {
+        (r.series, r.window_id, r.scale, r.idx): r.cum_cnt
+        for r in pd.concat([out1, out2], ignore_index=True).itertuples()
+    }
+    union = spark.createDataFrame(pd.concat([b1, b2], ignore_index=True))
+    exp = {
+        (r.series, r.window_id, r.scale, r.idx): r.cum_cnt
+        for r in m.expo_cumulative(union, series_cols=["series"]).collect()
+    }
+    assert got == exp
+    # the collapse really happened: final state scale is the running min
+    assert st.get[0] == 0
