@@ -312,8 +312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tail_sampling",
         "tail_sampling_policies",
         "transform_statements",
-        # changed this round (counting-sort quantiles)
+        # changed or new this round
         "route_latency_quantiles",
+        "histogram_cumulative_to_delta",
+        "histogram_delta_to_cumulative",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "dataset_split",
     "ann_quantized_topk",
     "expo_cumulative",
+    # round-5 additions
+    "histogram_cumulative_to_delta",
+    "histogram_delta_to_cumulative",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

@@ -112,6 +112,123 @@ def expo_cumulative(
     )
 
 
+def histogram_cumulative_to_delta(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    count_col: str = "cnt",
+    sum_col: str = "hsum",
+    buckets_col: str = "buckets",
+    order_cols: list[str] | None = None,
+    first_point: str = "drop",
+) -> DataFrame:
+    """cumulativetodelta for explicit-bucket HISTOGRAM datapoints
+    (`processor/cumulativetodeltaprocessor/processor.go:160-201` +
+    `internal/tracking/tracker.go:150-173`): per stream, delta = point
+    minus previous point, element-wise over (count, sum, bucket counts).
+    Reference edge semantics preserved exactly:
+
+    - count RESET (count < previous count): the point's raw cumulative
+      values are emitted unchanged (tracker.go: "Calculate deltas unless
+      histogram count was reset" — the un-subtracted clone flows out);
+    - bucket-arity change vs the previous point: the point is DROPPED
+      (tracker.go:158-160 valid=false -> processor RemoveIf);
+    - NaN sum carries the previous sum forward (tracker.go:153-156) —
+      applied only when the sum column is floating-point;
+    - first point per stream: 'drop' (InitialValueAuto with unknown
+      start) or 'keep' (InitialValueKeep emits the clone).
+
+    One shuffle on the stream key; bucket math is zip_with (JVM-side).
+    """
+    from pyspark.sql import types as T
+
+    w = _stream_window(keys, ts_col, order_cols)
+    floating = isinstance(df.schema[sum_col].dataType, (T.DoubleType, T.FloatType))
+    # The reference stores the CARRIED sum in state (a NaN point inherits
+    # the previous sum and that inherited value is what the next point
+    # diffs against) — so "previous sum" is the last non-NaN sum, not the
+    # raw lag.
+    sum_clean = (
+        F.when(F.isnan(F.col(sum_col)), F.lit(None)).otherwise(F.col(sum_col))
+        if floating
+        else F.col(sum_col)
+    )
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    df2 = (
+        df.withColumn("_pc", F.lag(count_col).over(w))
+        .withColumn("_ps", F.last(sum_clean, ignorenulls=True).over(w_prev))
+        .withColumn("_pb", F.lag(buckets_col).over(w))
+    )
+    is_first = F.col("_pc").isNull()
+    cur_sum = F.coalesce(sum_clean, F.col("_ps")) if floating else F.col(sum_col)
+    raw = is_first | (F.col(count_col) < F.col("_pc"))  # first/reset: clone
+    out = (
+        df2.withColumn(
+            "delta_cnt",
+            F.when(raw, F.col(count_col)).otherwise(F.col(count_col) - F.col("_pc")),
+        )
+        .withColumn(
+            "delta_sum", F.when(raw, cur_sum).otherwise(cur_sum - F.col("_ps"))
+        )
+        .withColumn(
+            "delta_buckets",
+            F.when(raw, F.col(buckets_col)).otherwise(
+                F.zip_with(
+                    F.col(buckets_col), F.col("_pb"), lambda x, y: x - y
+                )
+            ),
+        )
+        .filter(is_first | (F.size(buckets_col) == F.size("_pb")))
+    )
+    if first_point == "drop":
+        out = out.filter(~is_first)
+    elif first_point != "keep":
+        raise ValueError(f"unknown first_point {first_point!r}")
+    return out.drop("_pc", "_ps", "_pb")
+
+
+def histogram_delta_to_cumulative(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    count_col: str = "cnt",
+    sum_col: str = "hsum",
+    buckets_col: str = "buckets",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """deltatocumulative for explicit-bucket HISTOGRAM datapoints
+    (`deltatocumulativeprocessor/internal/data/add.go:35-41`: Add sums
+    count, sum, and bucket counts element-wise): running bucket-wise sums
+    per stream.
+
+    Long output format — one row per (stream, point, bucket_idx) with the
+    cumulative count/sum replicated — keeps every compared column scalar
+    (hash-portable) AND widens the shuffle key to (stream, bucket_idx):
+    at 100 TB the state is sharded finer than per-series, so a hot series
+    does not pin one task the way an array-typed per-series window would.
+    """
+    order = order_cols or []
+    long = df.select(
+        *keys,
+        ts_col,
+        *order,
+        count_col,
+        sum_col,
+        F.posexplode(buckets_col).alias("bucket_idx", "_b"),
+    )
+    w = (
+        Window.partitionBy(*keys, "bucket_idx")
+        .orderBy(ts_col, *order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        long.withColumn("cum_cnt", F.sum(count_col).over(w))
+        .withColumn("cum_sum", F.sum(sum_col).over(w))
+        .withColumn("cum_bucket", F.sum("_b").over(w))
+        .drop("_b", count_col, sum_col)
+    )
+
+
 def cumulative_to_delta(
     df: DataFrame, keys: list[str], value_col: str, ts_col: str = "ts",
     out_col: str = "delta", first_point: str = "drop",

@@ -507,6 +507,196 @@ SELECT user_id, event_type, event_id, delta FROM (
 """
 
 
+_HIST_BOUNDS = (0.25, 0.5, 0.75)  # 4 explicit buckets over `value`
+
+
+def _histogram_deltas(spark, sf_dir):
+    """Per-(series=event_type, day-window) explicit-bucket histogram DELTA
+    points synthesized from events with integer arithmetic only (sum =
+    sum(floor(value*100)) so delta math is hash-exact cross-engine):
+    columns (series, window_id, d_cnt, d_sum, b0..b3)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    lo, mid, hi = _HIST_BOUNDS
+    return (
+        ev.select(
+            F.col("event_type").alias("series"),
+            win.alias("window_id"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("vi"),
+            F.col("value"),
+        )
+        .groupBy("series", "window_id")
+        .agg(
+            F.count("*").cast("bigint").alias("d_cnt"),
+            F.sum("vi").cast("bigint").alias("d_sum"),
+            F.sum(F.when(F.col("value") < lo, 1).otherwise(0))
+            .cast("bigint")
+            .alias("b0"),
+            F.sum(
+                F.when((F.col("value") >= lo) & (F.col("value") < mid), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("b1"),
+            F.sum(
+                F.when((F.col("value") >= mid) & (F.col("value") < hi), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("b2"),
+            F.sum(F.when(F.col("value") >= hi, 1).otherwise(0))
+            .cast("bigint")
+            .alias("b3"),
+        )
+    )
+
+
+def q_histogram_cumulative_to_delta(spark, sf_dir):
+    """cumulativetodelta over explicit-bucket histogram streams
+    (`cumulativetodeltaprocessor/processor.go:160-201`,
+    `tracking/tracker.go:150-173`). The cumulative input re-accumulates
+    the synthetic deltas within 3-window segments, so segment boundaries
+    exercise the count-RESET branch (raw cumulative flows out unchanged)
+    while interior windows exercise the subtract branch; the operator is
+    applied per SERIES (not per segment), exactly like a collector seeing
+    a restarted producer. Long bucket output keeps every compared column
+    a scalar BIGINT."""
+    from pyspark.sql import Window as W
+
+    d = _histogram_deltas(spark, sf_dir).withColumn(
+        "seg", F.floor(F.col("window_id") / 3).cast("bigint")
+    )
+    wseg = (
+        W.partitionBy("series", "seg")
+        .orderBy("window_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = d.select(
+        "series",
+        "window_id",
+        F.sum("d_cnt").over(wseg).alias("cnt"),
+        F.sum("d_sum").over(wseg).alias("hsum"),
+        F.array(
+            *[F.sum(b).over(wseg) for b in ("b0", "b1", "b2", "b3")]
+        ).alias("buckets"),
+    )
+    out = metric_ops.histogram_cumulative_to_delta(
+        cum, keys=["series"], ts_col="window_id", count_col="cnt",
+        sum_col="hsum", buckets_col="buckets", first_point="drop",
+    )
+    return out.select(
+        "series",
+        "window_id",
+        F.col("delta_cnt").cast("bigint").alias("delta_cnt"),
+        F.col("delta_sum").cast("bigint").alias("delta_sum"),
+        F.posexplode("delta_buckets").alias("bucket_idx", "delta_bucket"),
+    ).select(
+        "series",
+        "window_id",
+        "delta_cnt",
+        "delta_sum",
+        F.col("bucket_idx").cast("bigint").alias("bucket_idx"),
+        F.col("delta_bucket").cast("bigint").alias("delta_bucket"),
+    )
+
+
+_O_HIST_PER = """
+  SELECT event_type AS series,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS window_id,
+         CAST(count(*) AS BIGINT) AS d_cnt,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS d_sum,
+         CAST(sum(CASE WHEN value < 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+         CAST(sum(CASE WHEN value >= 0.25 AND value < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+         CAST(sum(CASE WHEN value >= 0.5 AND value < 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+         CAST(sum(CASE WHEN value >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+  FROM events GROUP BY 1, 2
+"""
+
+O_HIST_C2D = f"""
+WITH per AS ({_O_HIST_PER}
+), cum AS (
+  SELECT series, window_id,
+         CAST(sum(d_cnt) OVER wseg AS BIGINT) AS cnt,
+         CAST(sum(d_sum) OVER wseg AS BIGINT) AS hsum,
+         CAST(sum(b0) OVER wseg AS BIGINT) AS c0,
+         CAST(sum(b1) OVER wseg AS BIGINT) AS c1,
+         CAST(sum(b2) OVER wseg AS BIGINT) AS c2,
+         CAST(sum(b3) OVER wseg AS BIGINT) AS c3
+  FROM per
+  WINDOW wseg AS (PARTITION BY series, window_id // 3 ORDER BY window_id
+                  ROWS UNBOUNDED PRECEDING)
+), lagd AS (
+  SELECT series, window_id, cnt, hsum, c0, c1, c2, c3,
+         lag(cnt) OVER wst AS pc, lag(hsum) OVER wst AS ps,
+         lag(c0) OVER wst AS p0, lag(c1) OVER wst AS p1,
+         lag(c2) OVER wst AS p2, lag(c3) OVER wst AS p3
+  FROM cum
+  WINDOW wst AS (PARTITION BY series ORDER BY window_id)
+), delta AS (
+  SELECT series, window_id,
+         CASE WHEN cnt < pc THEN cnt ELSE cnt - pc END AS delta_cnt,
+         CASE WHEN cnt < pc THEN hsum ELSE hsum - ps END AS delta_sum,
+         CASE WHEN cnt < pc THEN c0 ELSE c0 - p0 END AS db0,
+         CASE WHEN cnt < pc THEN c1 ELSE c1 - p1 END AS db1,
+         CASE WHEN cnt < pc THEN c2 ELSE c2 - p2 END AS db2,
+         CASE WHEN cnt < pc THEN c3 ELSE c3 - p3 END AS db3
+  FROM lagd WHERE pc IS NOT NULL
+)
+SELECT series, window_id, delta_cnt, delta_sum,
+       CAST(i.bucket_idx AS BIGINT) AS bucket_idx,
+       CASE i.bucket_idx WHEN 0 THEN db0 WHEN 1 THEN db1
+                         WHEN 2 THEN db2 ELSE db3 END AS delta_bucket
+FROM delta CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(bucket_idx)
+"""
+
+
+def q_histogram_delta_to_cumulative(spark, sf_dir):
+    """deltatocumulative over explicit-bucket histogram streams
+    (`deltatocumulativeprocessor/internal/data/add.go:35-41`: element-wise
+    count/sum/bucket sums). Long output: the shuffle key widens to
+    (series, bucket_idx), sharding state finer than per-series."""
+    d = _histogram_deltas(spark, sf_dir)
+    inp = d.select(
+        "series",
+        "window_id",
+        F.col("d_cnt").alias("cnt"),
+        F.col("d_sum").alias("hsum"),
+        F.array("b0", "b1", "b2", "b3").alias("buckets"),
+    )
+    out = metric_ops.histogram_delta_to_cumulative(
+        inp, keys=["series"], ts_col="window_id", count_col="cnt",
+        sum_col="hsum", buckets_col="buckets",
+    )
+    return out.select(
+        "series",
+        "window_id",
+        F.col("bucket_idx").cast("bigint").alias("bucket_idx"),
+        F.col("cum_cnt").cast("bigint").alias("cum_cnt"),
+        F.col("cum_sum").cast("bigint").alias("cum_sum"),
+        F.col("cum_bucket").cast("bigint").alias("cum_bucket"),
+    )
+
+
+O_HIST_D2C = f"""
+WITH per AS ({_O_HIST_PER}
+), cum AS (
+  SELECT series, window_id,
+         CAST(sum(d_cnt) OVER wst AS BIGINT) AS cum_cnt,
+         CAST(sum(d_sum) OVER wst AS BIGINT) AS cum_sum,
+         CAST(sum(b0) OVER wst AS BIGINT) AS c0,
+         CAST(sum(b1) OVER wst AS BIGINT) AS c1,
+         CAST(sum(b2) OVER wst AS BIGINT) AS c2,
+         CAST(sum(b3) OVER wst AS BIGINT) AS c3
+  FROM per
+  WINDOW wst AS (PARTITION BY series ORDER BY window_id
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT series, window_id, CAST(i.bucket_idx AS BIGINT) AS bucket_idx,
+       cum_cnt, cum_sum,
+       CASE i.bucket_idx WHEN 0 THEN c0 WHEN 1 THEN c1
+                         WHEN 2 THEN c2 ELSE c3 END AS cum_bucket
+FROM cum CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(bucket_idx)
+"""
+
+
 def q_delta_to_rate(spark, sf_dir):
     out = metric_ops.delta_to_rate(
         _events_vi(spark, sf_dir), _STREAM_KEYS, "vi", order_cols=["event_id"]
@@ -850,6 +1040,8 @@ CATALOG_QUERIES = {
     "sample_hash_transcripts": q_sample_hash_transcripts,
     "delta_to_cumulative": q_delta_to_cumulative,
     "cumulative_to_delta": q_cumulative_to_delta,
+    "histogram_cumulative_to_delta": q_histogram_cumulative_to_delta,
+    "histogram_delta_to_cumulative": q_histogram_delta_to_cumulative,
     "delta_to_rate": q_delta_to_rate,
     "interval_last": q_interval_last,
     "span_metrics": q_span_metrics,
@@ -878,6 +1070,8 @@ CATALOG_ORACLES = {
     "sample_hash_transcripts": O_SAMPLE_HASH,
     "delta_to_cumulative": O_D2C,
     "cumulative_to_delta": O_C2D,
+    "histogram_cumulative_to_delta": O_HIST_C2D,
+    "histogram_delta_to_cumulative": O_HIST_D2C,
     "delta_to_rate": O_RATE,
     "interval_last": O_INTERVAL,
     "span_metrics": _span_metrics_oracle(),
