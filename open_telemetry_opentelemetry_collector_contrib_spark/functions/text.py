@@ -434,6 +434,140 @@ def contamination_hits(
     )
 
 
+def bloom_bitset(
+    grams: DataFrame,
+    gram_col: str = "gram",
+    m_bits: int = 1 << 18,
+    k: int = 2,
+) -> DataFrame:
+    """Build a Bloom-filter bitset over a gram set as a ONE-ROW frame
+    (column ``bloom``: array<long> of m_bits/32 words, 32 bits per word).
+
+    The production decontamination representation: the exact-gram
+    broadcast (contamination_hits) is right while eval-suite grams fit in
+    executor memory, but a 10^8-gram benchmark union broadcast as strings
+    is GBs; the Bloom is m bits REGARDLESS of gram count with a chosen
+    false-positive rate (FPs only over-remove — decontamination prefers
+    recall). Positions use engine-portable double hashing
+    h_j = (md5_48(g) + j * (md5_48(g || '#2') | 1)) mod m, so a DuckDB
+    oracle reproduces the bitset bit-for-bit.
+
+    Words pack 32 bits (not 64) so every bit operation is shift-free
+    integer arithmetic (2^(pos%32) fits a long; Spark variable-shift
+    requires literal counts): set = bit_or of 2^(pos%32); test =
+    floor(word / 2^(pos%32)) % 2. Construction is one map-side-combined
+    groupBy over positions + a single-row densify — no driver collect;
+    the one-row frame broadcasts into the corpus-side join.
+    """
+    n_words = m_bits // 32
+    h1 = md5_48_of(F.col(gram_col))
+    h2 = md5_48_of(F.concat(F.col(gram_col), F.lit("#2")))
+    pos = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.pmod(h1 + j * (h2.bitwiseOR(F.lit(1))), F.lit(m_bits)),
+        )
+    ).alias("pos")
+    words = (
+        grams.select(pos)
+        .withColumn("word_idx", (F.col("pos") / 32).cast("long"))
+        .withColumn(
+            "bit", F.pow(F.lit(2.0), F.pmod(F.col("pos"), F.lit(32))).cast("long")
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("w"))
+    )
+    return words.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("word_idx"), F.col("w")))
+        ).alias("_m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("_m"), i.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias("bloom")
+    )
+
+
+def md5_48_of(col: Column) -> Column:
+    from .dedupe import md5_48
+
+    return md5_48(col)
+
+
+def bloom_contains(bloom: Column, gram: Column, m_bits: int, k: int = 2) -> Column:
+    """True when all k positions of ``gram`` are set in ``bloom``.
+
+    The two md5 hashes bind through a transform-array lambda so Catalyst
+    evaluates each ONCE per row — inlined column references would
+    recompute the md5 at every of the ~4 uses (CollapseProject substitutes
+    projected expressions into downstream references)."""
+
+    def _test(s: Column) -> Column:
+        def bit_set(j: int) -> Column:
+            p = F.pmod(s["h1"] + j * s["h2"], F.lit(m_bits))
+            word = F.element_at(bloom, (p / 32).cast("int") + 1)
+            return (
+                F.pmod(
+                    F.floor(word / F.pow(F.lit(2.0), F.pmod(p, F.lit(32)))), F.lit(2)
+                )
+                == 1
+            )
+
+        out = F.lit(True)
+        for j in range(k):
+            out = out & bit_set(j)
+        return out
+
+    bound = F.transform(
+        F.array(
+            F.struct(
+                md5_48_of(gram).alias("h1"),
+                md5_48_of(F.concat(gram, F.lit("#2")))
+                .bitwiseOR(F.lit(1))
+                .alias("h2"),
+            )
+        ),
+        _test,
+    )
+    return bound[0]
+
+
+def contamination_hits_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 18,
+    k: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — contamination_hits'
+    production-scale twin: the benchmark grams compress into an m-bit
+    Bloom (one-row broadcast) instead of a string-set broadcast; corpus
+    grams test membership in O(k) integer ops. Output rows are a SUPERSET
+    of the exact join's (the documented FP rate (1-e^(-kn/m))^k
+    over-flags; never under-flags) — deterministic for a given corpus, so
+    fully oracle-checkable."""
+    from .dedupe import word_shingles
+
+    bench_grams = benchmark.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    bitset = bloom_bitset(bench_grams, m_bits=m_bits, k=k)
+    grams = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        grams.join(F.broadcast(bitset))
+        .filter(bloom_contains(F.col("bloom"), F.col("gram"), m_bits, k))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("bloom_hit_grams"))
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 256,

@@ -932,6 +932,73 @@ GROUP BY doc_id
 """
 
 
+_BLOOM_M = 1 << 18  # bits
+_BLOOM_K = 2
+
+
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination — the production twin of
+    decontaminate_docs for benchmark-gram sets too large to broadcast as
+    strings: the bench grams compress to a 2^18-bit Bloom (one-row
+    broadcast, 8 KB of longs), corpus grams test membership in k=2
+    engine-portable integer hashes. Output is the exact join's hit set
+    plus the documented false-positive over-flags ((1-e^(-kn/m))^k) —
+    deterministic, so the DuckDB oracle reproduces every bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" " + _CANARY))
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 5, F.concat(F.col("text"), F.lit(" " + _CANARY))
+        ).otherwise(F.col("text")),
+    )
+    return text_fns.contamination_hits_bloom(
+        corpus, bench, n=_DECON_N, m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+
+
+_O_MD5_48 = (
+    "list_reduce([strpos('0123456789abcdef', substring(md5({g}), i, 1)) - 1 "
+    "for i in range(1, 13)], (a,b) -> a*16 + b)"
+)
+
+O_DECONTAMINATE_BLOOM = rf"""
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 97 = 0 OR (doc_id % 97 <> 0 AND doc_id % 13 = 5)
+         THEN text || ' {_CANARY}' ELSE text END AS text
+  FROM documents
+), words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM planted
+), sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ws) - {_DECON_N - 1} >= 1
+      THEN [array_to_string(ws[i:i+{_DECON_N - 1}], ' ') for i in range(1, len(ws) - {_DECON_N - 2})]
+      ELSE [array_to_string(ws, ' ')] END) AS grams
+  FROM words
+), hashed AS (
+  SELECT doc_id, gram,
+         {_O_MD5_48.format(g='gram')} AS h1,
+         ({_O_MD5_48.format(g="gram || '#2'")} | 1) AS h2odd
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM sh)
+), bench_pos AS (
+  SELECT DISTINCT p FROM (
+    SELECT h1 % {_BLOOM_M} AS p FROM hashed WHERE doc_id % 97 = 0
+    UNION ALL
+    SELECT (h1 + h2odd) % {_BLOOM_M} AS p FROM hashed WHERE doc_id % 97 = 0
+  )
+)
+SELECT doc_id, count(*) AS bloom_hit_grams
+FROM hashed c
+WHERE doc_id % 97 <> 0
+  AND c.h1 % {_BLOOM_M} IN (SELECT p FROM bench_pos)
+  AND (c.h1 + c.h2odd) % {_BLOOM_M} IN (SELECT p FROM bench_pos)
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # composite curation pipeline: quality gate -> language filter -> exact
 # dedup -> near-dup removal (the end-to-end training-data story)
@@ -1152,6 +1219,7 @@ TRAINING_QUERIES = {
     "pii_scrub_docs": q_pii_scrub_docs,
     "chunk_documents": q_chunk_documents,
     "decontaminate_docs": q_decontaminate_docs,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "dedup_components": q_dedup_components,
 }
 
@@ -1183,5 +1251,6 @@ TRAINING_ORACLES = {
     "pii_scrub_docs": O_PII_SCRUB,
     "chunk_documents": O_CHUNK_DOCS,
     "decontaminate_docs": O_DECONTAMINATE,
+    "decontaminate_bloom": O_DECONTAMINATE_BLOOM,
     "dedup_components": _components_oracle(),
 }

@@ -108,3 +108,32 @@ def test_parse_keyvalue_quote_stripping(spark):
     out = apply_statement(df, "set(t, ParseKeyValue(s))")
     got = dict(out.collect()[0].t)
     assert got == {"k1": "v1", "k two": "v 2"}
+
+
+def test_route_quantiles_plan_has_no_raw_row_window(spark):
+    """The counting-sort reformulation: the raw corpus reduces through a
+    PARTIAL-aggregated groupBy(route, latency_ms) BEFORE any
+    route-partitioned window — so the window input is the tiny value
+    histogram, never the full corpus shuffled into <=4 route tasks."""
+    import __spark_entry__ as entry
+
+    df = entry.q_route_latency_quantiles(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the histogram shuffle keys on BOTH route and latency_ms (full
+    # parallelism); a raw-row window plan would shuffle on route alone
+    # straight from the scan
+    starts = [
+        i
+        for i in range(len(plan))
+        if plan.startswith("hashpartitioning(route", i)
+    ]
+    assert starts, plan
+    assert any("latency_ms" in plan[i : i + 120] for i in starts), plan
+    # map-side combine happened below that exchange
+    assert "partial_count" in plan or "partial" in plan.lower()
+    # and the result is still oracle-exact (checked in the oracle gate);
+    # here: the discrete quantiles are monotone and bounded by max
+    rows = df.collect()
+    assert rows and all(
+        r.p50_ms <= r.p90_ms <= r.p99_ms <= r.max_ms for r in rows
+    )
