@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_latency_quantiles",
         "histogram_cumulative_to_delta",
         "histogram_delta_to_cumulative",
+        "decontaminate_bloom",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     # round-5 additions
     "histogram_cumulative_to_delta",
     "histogram_delta_to_cumulative",
+    "decontaminate_bloom",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

@@ -51,7 +51,8 @@ def test_new_file_read_from_zero_while_old_resumes(spark, tmp_path):
     _write(f"{d}/a.log", "tail-a\n", mode="a")
     _write(f"{d}/b.log", "fresh-b\n")
     out = _lines(c.poll(f"{d}/*.log"))
-    assert [x[2] for x in out] == sorted(["tail-a", "fresh-b"])
+    # sorted by path: a.log's resumed tail, then b.log read from zero
+    assert [x[2] for x in out] == ["tail-a", "fresh-b"]
 
 
 def test_truncate_recreate_is_a_new_file(spark, tmp_path):
@@ -78,7 +79,8 @@ def test_short_file_growth_matches_by_startswith(spark, tmp_path):
     assert len(first.collect()) == 1
     _write(f"{d}/g.log", "grown line two\ngrown line three\n", mode="a")
     out = _lines(c.poll(f"{d}/*.log"))
-    assert [x[2] for x in out] == ["grown line three", "grown line two"]
+    # in-file order: only the two appended lines, not the original
+    assert [x[2] for x in out] == ["grown line two", "grown line three"]
     # third poll with no change: nothing re-emitted
     assert c.poll(f"{d}/*.log").count() == 0
 
