@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_cumulative_to_delta",
         "histogram_delta_to_cumulative",
         "decontaminate_bloom",
+        "mix_temperature_docs",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

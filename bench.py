@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "histogram_cumulative_to_delta",
     "histogram_delta_to_cumulative",
     "decontaminate_bloom",
+    "mix_temperature_docs",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

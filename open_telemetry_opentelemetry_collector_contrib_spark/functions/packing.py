@@ -143,6 +143,47 @@ def dataset_split(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    base_rate: float = 0.5,
+    seed: str = "temp42",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted (alpha = 1/2) mixture sampling: the standard
+    LLM-corpus recipe where a source's share flattens from proportional
+    (alpha=1) toward uniform (alpha=0) — source s keeps rate
+    p_s = min(1, base_rate * sqrt(n_max / n_s)), so the LARGEST source
+    keeps base_rate and smaller sources keep relatively more.
+
+    EXACT integer arithmetic, no doubles: with h = md5_48(seed||id) % M
+    (M = 10^4, 0.01% rate granularity) the keep test
+    h < p_s * M  <=>  h^2 * n_s < (base_rate*M)^2 * n_max
+    — squaring is strictly monotone on non-negatives, so the comparison
+    is bit-portable where a sqrt threshold could flip a floored hash at
+    the boundary. The p_s <= 1 cap is automatic (h < M makes the RHS
+    dominate whenever B^2*n_max >= M^2*n_s). Overflow-safe to
+    n_s <= 9*10^10 docs per source (h^2 <= 10^8, bigint max 9.2*10^18).
+
+    Shuffle shape: one map-side-combined groupBy(source) for the counts
+    (few rows), broadcast back; the corpus side is a pure filter.
+    """
+    m = 10_000
+    b = int(base_rate * m)
+    stats = df.groupBy(source_col).agg(F.count("*").cast("long").alias("_n"))
+    stats = stats.crossJoin(
+        F.broadcast(stats.groupBy().agg(F.max("_n").alias("_n_max")))
+    )
+    h = F.pmod(
+        md5_48(F.concat(F.lit(seed), F.col(id_col).cast("string"))), F.lit(m)
+    )
+    return (
+        df.join(F.broadcast(stats), source_col)
+        .filter(h * h * F.col("_n") < F.lit(b * b) * F.col("_n_max"))
+        .drop("_n", "_n_max")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

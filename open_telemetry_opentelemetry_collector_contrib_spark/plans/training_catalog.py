@@ -1160,6 +1160,49 @@ def q_mix_sample_docs(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+_MIX_SRC_CASE = (
+    "CASE WHEN doc_id % 16 < 8 THEN 'heavy' WHEN doc_id % 16 < 12 THEN 'mid' "
+    "ELSE 'light-' || CAST(doc_id % 4 AS VARCHAR) END"
+)
+
+
+def q_mix_temperature_docs(spark, sf_dir):
+    """Temperature-weighted (alpha=1/2) mixture sampling over a skewed
+    synthetic source split (heavy 50%, mid 25%, four light sources ~6%
+    each): small sources keep relatively more, the largest keeps
+    base_rate — exact integer keep test (h^2*n_s < B^2*n_max), see
+    functions/packing.py temperature_sample."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "mix_src",
+        F.when(F.col("doc_id") % 16 < 8, F.lit("heavy"))
+        .when(F.col("doc_id") % 16 < 12, F.lit("mid"))
+        .otherwise(F.concat(F.lit("light-"), (F.col("doc_id") % 4).cast("string"))),
+    )
+    out = packing.temperature_sample(
+        docs, source_col="mix_src", base_rate=0.5, seed="temp42"
+    )
+    return out.select("doc_id", "mix_src")
+
+
+O_MIX_TEMPERATURE = f"""
+WITH src AS (
+  SELECT doc_id, {_MIX_SRC_CASE} AS mix_src FROM documents
+), counts AS (
+  SELECT mix_src, CAST(count(*) AS BIGINT) AS n FROM src GROUP BY 1
+), mx AS (
+  SELECT max(n) AS n_max FROM counts
+), hashed AS (
+  SELECT doc_id, mix_src,
+         (list_reduce([strpos('0123456789abcdef', substring(md5('temp42' || CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                       for i in range(1, 13)], (a,b) -> a*16 + b)) % 10000 AS h
+  FROM src
+)
+SELECT doc_id, mix_src
+FROM hashed JOIN counts USING (mix_src) CROSS JOIN mx
+WHERE h * h * n < 25000000 * n_max
+"""
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic hash-threshold train/val/test assignment (5%/5%) —
     leak-free by construction (split is a pure function of doc_id), no
@@ -1194,6 +1237,7 @@ WHERE ({hx}) % 1000000 < (CASE {whens} ELSE {int(_MIX_DEFAULT * 1_000_000)} END)
 TRAINING_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "mix_sample_docs": q_mix_sample_docs,
+    "mix_temperature_docs": q_mix_temperature_docs,
     "dataset_split": q_dataset_split,
     "exact_dedup": q_exact_dedup,
     "fuzzy_exact_dedup": q_fuzzy_exact_dedup,
@@ -1226,6 +1270,7 @@ TRAINING_QUERIES = {
 TRAINING_ORACLES = {
     "pack_sequences": packing.pack_oracle_sql(_PACK_BUDGET, _PACK_SHARDS),
     "mix_sample_docs": _mix_sample_oracle(),
+    "mix_temperature_docs": O_MIX_TEMPERATURE,
     "dataset_split": _dataset_split_oracle(),
     "exact_dedup": O_EXACT_DEDUP,
     "fuzzy_exact_dedup": O_FUZZY_EXACT_DEDUP,
