@@ -98,6 +98,57 @@ def streaming_dedup(routed: DataFrame, watermark: str = "1 day") -> DataFrame:
     )
 
 
+def logdedup_stream(
+    df: DataFrame,
+    interval_s: int,
+    exclude_fields: list[str] | None = None,
+    ts_col: str = "ts",
+    count_col: str = "log_count",
+    watermark: str = "1 hour",
+    order_col: str | None = None,
+) -> DataFrame:
+    """The FULL logdedupprocessor under streaming — representative record +
+    ``log_count`` + first/last observed per (interval window, dedup key),
+    emitted when the watermark closes the window: Spark's event-time analog
+    of the reference's flush-interval timer
+    (`logdedupprocessor/processor.go:85-157` — it buffers per key and
+    flushes one aggregated record per interval tick; the watermark is the
+    tick, state GC is free). Same ``dedup_key`` and aggregates as the
+    batch twin (operators/dedup.py logdedup), so a drained stream matches
+    the batch output row-for-row — pinned in tests/test_streaming.py."""
+    from ..operators.dedup import dedup_key
+
+    exclude = list(exclude_fields or []) + [ts_col]
+    if order_col:
+        exclude.append(order_col)
+    key = dedup_key(df, exclude)
+    data_cols = list(df.columns)
+    order = F.struct(F.col(ts_col), *([F.col(order_col)] if order_col else []))
+    return (
+        df.withWatermark(ts_col, watermark)
+        .withColumn("__dedup_key", key)
+        .groupBy(
+            F.window(ts_col, f"{interval_s} seconds").alias("__w"),
+            F.col("__dedup_key"),
+        )
+        .agg(
+            F.min_by(F.struct(*data_cols), order).alias("__rep"),
+            F.count(F.lit(1)).alias(count_col),
+            F.min(F.unix_timestamp(F.col(ts_col))).alias("first_observed_s"),
+            F.max(F.unix_timestamp(F.col(ts_col))).alias("last_observed_s"),
+        )
+        .select(
+            (F.unix_timestamp(F.col("__w.start")) / interval_s)
+            .cast("long")
+            .alias("window_id"),
+            "__rep.*",
+            count_col,
+            "first_observed_s",
+            "last_observed_s",
+        )
+    )
+
+
 def route_fan_out_stream(
     spark: SparkSession,
     src_dir: str,

@@ -335,3 +335,56 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     # straggler dropped: day-1 window closed with exactly the 5 on-time rows
     assert got.get(day1_ws) == 5
     assert got.get(day11_ws) == 3
+
+
+def test_streaming_logdedup_matches_batch(spark, transcripts_dir):
+    """The full logdedup aggregate (representative + log_count +
+    first/last observed) drained through the watermarked tumbling-window
+    path must equal the batch twin row-for-row."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators import (
+        dedup as dedup_ops,
+    )
+
+    routed = st.transform_stream(spark, st.stream_source(spark, transcripts_dir))
+    cols = ["conv_id", "turn_idx", "role", "tool", "level", "status", "ts"]
+    out = st.logdedup_stream(
+        routed.select(*cols),
+        interval_s=86400,
+        exclude_fields=["conv_id", "turn_idx"],
+        order_col="turn_idx",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("logdedup_stream_full")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def keyset(rows):
+        return {
+            (r.window_id, r.role, r.tool, r.level, r.status): (
+                r.log_count,
+                r.first_observed_s,
+                r.last_observed_s,
+                r.conv_id,
+                r.turn_idx,
+            )
+            for r in rows
+        }
+
+    got = keyset(spark.sql("select * from logdedup_stream_full").collect())
+    batch_routed = __import__(
+        "open_telemetry_opentelemetry_collector_contrib_spark.plans.pipeline",
+        fromlist=["routed"],
+    ).routed(spark, SF_UNIT)
+    exp_df = dedup_ops.logdedup(
+        batch_routed.select(*cols),
+        interval_s=86400,
+        exclude_fields=["conv_id", "turn_idx"],
+        order_col="turn_idx",
+    )
+    exp = keyset(exp_df.collect())
+    assert len(got) == len(exp) > 0
+    assert got == exp
