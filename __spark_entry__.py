@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_delta_to_cumulative",
         "decontaminate_bloom",
         "mix_temperature_docs",
+        "interval_passthrough",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "histogram_delta_to_cumulative",
     "decontaminate_bloom",
     "mix_temperature_docs",
+    "interval_passthrough",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

@@ -276,6 +276,44 @@ def interval_aggregate(
     )
 
 
+def interval_process(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    interval_s: int,
+    ts_col: str = "ts",
+    metric_type_col: str = "metric_type",
+    pass_through_gauge: bool = False,
+    pass_through_summary: bool = False,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """intervalprocessor with the ``pass_through`` config
+    (`intervalprocessor/config.go:26-33`, `processor.go:107-121`): gauge
+    (pmetric type 1) and/or summary (type 5) datapoints bypass the
+    interval aggregation UNCHANGED when flagged — they flow row-for-row —
+    while everything else last-values per (stream, interval) exactly as
+    interval_aggregate. Output grain: (window_id, keys, value).
+
+    Scale: the passthrough side is a pure filter (no shuffle at all);
+    only the aggregated side pays the stream-key exchange.
+    """
+    GAUGE, SUMMARY = 1, 5
+    mask = F.lit(False)
+    if pass_through_gauge:
+        mask = mask | (F.col(metric_type_col) == GAUGE)
+    if pass_through_summary:
+        mask = mask | (F.col(metric_type_col) == SUMMARY)
+    agg = interval_aggregate(
+        df.filter(~mask), keys, value_col, interval_s, ts_col, order_cols
+    )
+    passed = df.filter(mask).select(
+        tumbling_window_id(F.col(ts_col), interval_s).alias("window_id"),
+        *keys,
+        value_col,
+    )
+    return agg.select("window_id", *keys, value_col).unionByName(passed)
+
+
 # ---------------------------------------------------------------------------
 # spanmetrics connector: calls + duration histogram per dimension set
 # (`connector/spanmetricsconnector/config.go:35-70`, aggregation loop

@@ -736,6 +736,44 @@ SELECT window_id, user_id, event_type, vi FROM (
 """
 
 
+def q_interval_passthrough(spark, sf_dir):
+    """intervalprocessor pass_through config (`config.go:26-33`,
+    `processor.go:107-121`): gauge-typed streams (synthetic metric_type =
+    1 + len(event_type) % 3, so type 1 = gauge) bypass the interval
+    last-value aggregation row-for-row; other types last-value per
+    (stream, day). The passthrough side is a pure filter — no shuffle."""
+    ev = _events_vi(spark, sf_dir).withColumn(
+        "metric_type", (F.lit(1) + F.pmod(F.length("event_type"), F.lit(3))).cast("int")
+    )
+    out = metric_ops.interval_process(
+        ev, _STREAM_KEYS, "vi", 86400,
+        pass_through_gauge=True, order_cols=["event_id"],
+    )
+    return out.select(
+        F.col("window_id").cast("bigint").alias("window_id"),
+        "user_id", "event_type",
+        F.col("vi").cast("bigint").alias("vi"),
+    )
+
+
+O_INTERVAL_PASSTHROUGH = f"""
+WITH ev AS (
+  SELECT *, 1 + (length(event_type) % 3) AS metric_type FROM ({_EVENTS_VI})
+), agg AS (
+  SELECT window_id, user_id, event_type, vi FROM (
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS window_id, user_id, event_type, vi,
+           row_number() OVER (PARTITION BY CAST(floor(epoch(ts) / 86400) AS BIGINT), user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE metric_type <> 1
+  ) WHERE rn = 1
+), passed AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS window_id, user_id, event_type, vi
+  FROM ev WHERE metric_type = 1
+)
+SELECT * FROM agg UNION ALL SELECT * FROM passed
+"""
+
+
 # ---------------------------------------------------------------------------
 # spanmetrics connector
 # ---------------------------------------------------------------------------
@@ -1044,6 +1082,7 @@ CATALOG_QUERIES = {
     "histogram_delta_to_cumulative": q_histogram_delta_to_cumulative,
     "delta_to_rate": q_delta_to_rate,
     "interval_last": q_interval_last,
+    "interval_passthrough": q_interval_passthrough,
     "span_metrics": q_span_metrics,
     "recombine_conversations": q_recombine_conversations,
     "route_match_all": q_route_match_all,
@@ -1074,6 +1113,7 @@ CATALOG_ORACLES = {
     "histogram_delta_to_cumulative": O_HIST_D2C,
     "delta_to_rate": O_RATE,
     "interval_last": O_INTERVAL,
+    "interval_passthrough": O_INTERVAL_PASSTHROUGH,
     "span_metrics": _span_metrics_oracle(),
     "recombine_conversations": O_RECOMBINE,
     "route_match_all": O_ROUTE_ALL,
