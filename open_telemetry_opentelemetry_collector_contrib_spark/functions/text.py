@@ -500,39 +500,25 @@ def md5_48_of(col: Column) -> Column:
 def bloom_contains(bloom: Column, gram: Column, m_bits: int, k: int = 2) -> Column:
     """True when all k positions of ``gram`` are set in ``bloom``.
 
-    The two md5 hashes bind through a transform-array lambda so Catalyst
-    evaluates each ONCE per row — inlined column references would
-    recompute the md5 at every of the ~4 uses (CollapseProject substitutes
-    projected expressions into downstream references)."""
-
-    def _test(s: Column) -> Column:
-        def bit_set(j: int) -> Column:
-            p = F.pmod(s["h1"] + j * s["h2"], F.lit(m_bits))
-            word = F.element_at(bloom, (p / 32).cast("int") + 1)
-            return (
-                F.pmod(
-                    F.floor(word / F.pow(F.lit(2.0), F.pmod(p, F.lit(32)))), F.lit(2)
-                )
-                == 1
+    Written as direct (inlined) expressions on purpose: the md5 hash
+    appears ~4x in the expression tree, but whole-stage codegen's
+    subexpression elimination evaluates it once — measured FASTER than
+    hoisting through a transform-array lambda binding, which forces the
+    whole filter onto the interpreted CodegenFallback path (5.4 s vs
+    6.4 s median over ~15M grams at sf0.1)."""
+    h1 = md5_48_of(gram)
+    h2 = md5_48_of(F.concat(gram, F.lit("#2"))).bitwiseOR(F.lit(1))
+    out = F.lit(True)
+    for j in range(k):
+        p = F.pmod(h1 + j * h2, F.lit(m_bits))
+        word = F.element_at(bloom, (p / 32).cast("int") + 1)
+        out = out & (
+            F.pmod(
+                F.floor(word / F.pow(F.lit(2.0), F.pmod(p, F.lit(32)))), F.lit(2)
             )
-
-        out = F.lit(True)
-        for j in range(k):
-            out = out & bit_set(j)
-        return out
-
-    bound = F.transform(
-        F.array(
-            F.struct(
-                md5_48_of(gram).alias("h1"),
-                md5_48_of(F.concat(gram, F.lit("#2")))
-                .bitwiseOR(F.lit(1))
-                .alias("h2"),
-            )
-        ),
-        _test,
-    )
-    return bound[0]
+            == 1
+        )
+    return out
 
 
 def contamination_hits_bloom(
