@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom",
         "mix_temperature_docs",
         "interval_passthrough",
+        "minhash_incremental",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

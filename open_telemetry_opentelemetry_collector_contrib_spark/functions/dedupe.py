@@ -321,6 +321,34 @@ def minhash_lsh_pairs(
         df, text_col, id_col, n, num_hashes, seed,
         base_hash="md5_48" if portable else "crc32",
     )
+    banded = _band_and_cap(
+        sigs, id_col, bands, rows_per_band, portable, max_bucket_size
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _band_and_cap(
+    sigs: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    portable: bool,
+    max_bucket_size: int,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Explode a signature frame into (id, band, bucket) with the
+    hot-bucket cap as ONE window count on the bucket shuffle (vs the old
+    groupBy + join-back: an extra aggregate exchange + broadcast per
+    call); persists the filtered frame so the (expensive, interpreted)
+    signature fold materializes once and both join sides read the
+    cache."""
 
     def band_key(b):
         joined = F.array_join(
@@ -338,25 +366,80 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(id_col, F.explode(band_arr).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    extra = extra_cols or []
+    banded = sigs.select(id_col, *extra, F.explode(band_arr).alias("bb")).select(
+        id_col,
+        *extra,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
     )
-    # hot-bucket cap as ONE window count on the bucket shuffle (vs the old
-    # groupBy + join-back: an extra aggregate exchange + broadcast per call);
-    # persist the filtered frame so the (expensive, interpreted) signature
-    # fold materializes once and both self-join sides read the cache
     wsz = Window.partitionBy("band", "bucket")
-    banded = (
+    return (
         banded.withColumn("__sz", F.count(F.lit(1)).over(wsz))
         .filter(F.col("__sz") <= max_bucket_size)
         .drop("__sz")
         .persist()
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+
+
+def minhash_lsh_incremental(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket_size: int = 200,
+    portable: bool = False,
+    existing_is_signatures: bool = False,
+) -> DataFrame:
+    """Continuous-ingestion near-dup candidates: a NEW batch against an
+    already-signed corpus, plus within-batch pairs — WITHOUT re-reading
+    the stored corpus text.
+
+    ``existing_is_signatures=True`` accepts the persisted signature table
+    (id, signature — num_hashes*8 bytes/doc) from a previous run: at
+    100 TB the corpus text is never touched again; only the incoming
+    batch is shingled. Banding, hot-bucket capping (computed on the
+    UNION, the same skew discipline the full run applies), and the
+    bucket join are shared with minhash_lsh_pairs, so by construction
+    the output EQUALS the full-corpus run's pairs restricted to those
+    touching the incoming side — the metamorphic identity the tests and
+    the driver oracle check. Output: (id_a, id_b) with id_a < id_b and
+    at least one side incoming.
+    """
+    base = "md5_48" if portable else "crc32"
+    ex_sigs = (
+        existing.select(id_col, "signature")
+        if existing_is_signatures
+        else minhash_signatures(
+            existing, text_col, id_col, n, num_hashes, seed, base_hash=base
+        )
+    )
+    in_sigs = minhash_signatures(
+        incoming, text_col, id_col, n, num_hashes, seed, base_hash=base
+    )
+    sigs = ex_sigs.withColumn("__new", F.lit(False)).unionByName(
+        in_sigs.withColumn("__new", F.lit(True))
+    )
+    banded = _band_and_cap(
+        sigs, id_col, bands, num_hashes // bands, portable, max_bucket_size,
+        extra_cols=["__new"],
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("__new").alias("__new_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("__new").alias("__new_b"), "band", "bucket"
+    )
     return (
         a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__new_a") | F.col("__new_b"))
+        )
         .select("id_a", "id_b")
         .distinct()
     )

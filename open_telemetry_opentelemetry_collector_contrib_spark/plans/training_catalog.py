@@ -364,6 +364,29 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Continuous-ingestion LSH dedup: every 5th doc is the incoming
+    batch, the rest the already-signed corpus; candidates touch at least
+    one incoming doc. By construction (shared banding + union-computed
+    bucket cap) the result equals the full-corpus run restricted to
+    incoming-touching pairs — which is exactly what the oracle computes
+    (full LSH SQL + the restriction), and what the metamorphic pytest
+    pins against the production crc32/xxhash path with signature reuse."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedupe.minhash_lsh_incremental(
+        existing, incoming, n=_JAC_N, portable=True
+    )
+
+
+def _minhash_incremental_oracle() -> str:
+    return (
+        "SELECT id_a, id_b FROM (" + _minhash_lsh_oracle() + ") "
+        "WHERE id_a % 5 = 0 OR id_b % 5 = 0"
+    )
+
+
 def q_dedup_components(spark, sf_dir):
     """Transitive near-dup clustering: connected components over the
     MinHash-LSH pair graph (iterative min-label propagation; the DuckDB
@@ -1248,6 +1271,7 @@ TRAINING_QUERIES = {
     "lang_id": q_lang_id,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_incremental": q_minhash_incremental,
     "simhash_docs": q_simhash_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "ann_cosine_topk": q_ann_bruteforce,
@@ -1281,6 +1305,7 @@ TRAINING_ORACLES = {
     "lang_id": _lang_id_oracle(),
     "ngram_jaccard_pairs": O_NGRAM_JACCARD,
     "minhash_lsh_pairs": _minhash_lsh_oracle(),
+    "minhash_incremental": _minhash_incremental_oracle(),
     "simhash_docs": _simhash_oracle(),
     "fingerprint_docs": _fingerprint_oracle(),
     "ann_cosine_topk": O_ANN_BRUTEFORCE,

@@ -11,6 +11,7 @@ from open_telemetry_opentelemetry_collector_contrib_spark.functions import (
     similarity,
 )
 from open_telemetry_opentelemetry_collector_contrib_spark.functions import text as text_fns
+from tests.conftest import SF_UNIT
 
 
 @pytest.fixture(scope="module")
@@ -495,3 +496,39 @@ def test_session_split_vs_python_reference(spark):
         for r in session_split(df, gap_s=3600).collect()
     }
     assert got == expected
+
+
+def test_minhash_incremental_matches_full_restriction(spark):
+    """Metamorphic identity on the PRODUCTION hash path (crc32/xxhash):
+    incremental(existing, incoming) == full-corpus pairs restricted to
+    those touching the incoming side — including with the existing side
+    supplied as a persisted signature table (text never re-read)."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.functions import (
+        dedupe as dd,
+    )
+
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+
+    full = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_pairs(docs, n=3).collect()
+    }
+    expected = {p for p in full if p[0] % 5 == 0 or p[1] % 5 == 0}
+
+    inc = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_incremental(existing, incoming, n=3).collect()
+    }
+    assert inc == expected
+
+    # signature-reuse path: existing side as the stored signature table
+    ex_sigs = dd.minhash_signatures(existing, n=3)
+    inc2 = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_incremental(
+            ex_sigs, incoming, n=3, existing_is_signatures=True
+        ).collect()
+    }
+    assert inc2 == expected
