@@ -232,17 +232,28 @@ def histogram_delta_to_cumulative(
 def cumulative_to_delta(
     df: DataFrame, keys: list[str], value_col: str, ts_col: str = "ts",
     out_col: str = "delta", first_point: str = "drop",
-    order_cols: list[str] | None = None,
+    order_cols: list[str] | None = None, monotonic: bool = False,
 ) -> DataFrame:
     """value - lag(value) per stream
     (`processor/cumulativetodeltaprocessor/config.go:17-29`).
 
     first_point: 'drop' (reference auto default for unknown start) drops each
     stream's first point; 'keep' emits it as its own value.
+
+    monotonic=True applies the reference's reset detection for monotonic
+    SUMS (`tracking/tracker.go:176-196`: value < previous => valid=false,
+    the point is DROPPED — not emitted raw as histograms are — while the
+    reset point still becomes the stored previous, so the next point
+    diffs against it). The default False is the gauge-style pass-through
+    used by the flagship driver query (documented divergence there).
     """
     w = _stream_window(keys, ts_col, order_cols)
     lag = F.lag(value_col).over(w)
     out = df.withColumn(out_col, F.col(value_col) - lag)
+    if monotonic:
+        # lag (the stored previous) is unaffected: it reads the raw input
+        # column, so a dropped reset point still becomes the next lag
+        out = out.filter(F.col(out_col).isNull() | (F.col(out_col) >= 0))
     if first_point == "drop":
         return out.filter(F.col(out_col).isNotNull())
     if first_point == "keep":

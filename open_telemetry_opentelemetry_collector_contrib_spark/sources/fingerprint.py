@@ -79,6 +79,13 @@ def match_checkpoints(current: DataFrame, saved: dict[str, int]) -> DataFrame:
     exact matches take precedence exactly as the reference's tracker
     checks Equal before StartsWith). Unmatched files start at offset 0.
     Output: (path, fp_hex, file_size, offset).
+
+    Documented divergence: when two live files share identical first N
+    bytes (e.g. a rotation COPY left beside the original), both resume
+    from the shared offset — each emits the tail once. The reference
+    binds the checkpoint to ONE reader and re-reads the copy from zero;
+    at-least-once either way, ours errs toward not re-emitting the
+    already-consumed prefix.
     """
     spark = current.sparkSession
     if not saved:
@@ -147,44 +154,59 @@ class FingerprintedConsumer:
     offsets. Re-running a poll after a crash before commit re-emits the
     same lines (at-least-once, like the reference's offset store)."""
 
+    GENERATIONS = 3  # tracker.go:55-57 — knownFiles holds 3 poll filesets
+
     def __init__(self, spark: SparkSession, state_dir: str, size: int = DEFAULT_SIZE):
         self.spark = spark
         self.size = size
         self.state_path = os.path.join(state_dir, "fingerprint_offsets.json")
         os.makedirs(state_dir, exist_ok=True)
 
-    def _load(self) -> dict[str, int]:
+    def _load(self) -> dict:
         if os.path.exists(self.state_path):
             with open(self.state_path) as fh:
-                return json.load(fh)
-        return {}
+                raw = json.load(fh)
+            if "files" in raw:
+                return raw
+            # legacy flat {fp: offset} layout
+            return {"gen": 0, "files": {k: {"offset": v, "gen": 0} for k, v in raw.items()}}
+        return {"gen": 0, "files": {}}
 
     def poll(self, paths: list[str] | str) -> DataFrame:
-        saved = self._load()
-        matched = match_checkpoints(
-            fingerprint_files(self.spark, paths, self.size), saved
-        )
+        state = self._load()
+        gen = state["gen"] + 1
+        files: dict[str, dict] = state["files"]
+        saved = {k: rec["offset"] for k, rec in files.items()}
+        current = fingerprint_files(self.spark, paths, self.size)
+        matched = match_checkpoints(current, saved)
         lines = read_from_offsets(matched).localCheckpoint(eager=True)
         # commit: advanced offsets keyed by the CURRENT fingerprint (a
         # short fingerprint that grew is re-keyed to its longer form,
         # exactly the reference's fingerprint update-on-growth)
-        new_state = dict(saved)
         for r in (
             lines.groupBy("fp_hex").agg(F.max("new_offset").alias("o")).collect()
         ):
-            new_state[r.fp_hex] = int(r.o)
+            files[r.fp_hex] = {"offset": int(r.o), "gen": gen}
+        # every fp seen THIS poll refreshes its generation even without
+        # new lines (tracker.go:120-122 — previous-poll files re-enter
+        # knownFiles[0]); fps unseen for GENERATIONS polls age out, the
+        # analog of the 3-fileset rotation (a recreated file with those
+        # bytes re-reads from zero, as it would in the reference)
+        seen = {r.fp_hex for r in matched.select("fp_hex").collect()}
+        for fp, rec in list(files.items()):
+            if fp in seen or any(cur.startswith(fp) for cur in seen):
+                rec["gen"] = gen
+            elif gen - rec["gen"] >= self.GENERATIONS:
+                del files[fp]
         # re-key grown fingerprints: drop any stored fp that is a strict
         # prefix of a now-known longer fp
         grown = {
-            old
-            for old in new_state
-            for cur in new_state
-            if old != cur and cur.startswith(old)
+            old for old in files for cur in files if old != cur and cur.startswith(old)
         }
         for old in grown:
-            new_state.pop(old, None)
+            files.pop(old, None)
         tmp = self.state_path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(new_state, fh)
+            json.dump({"gen": gen, "files": files}, fh)
         os.replace(tmp, self.state_path)  # atomic, like runner lineage
         return lines

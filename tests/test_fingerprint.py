@@ -101,3 +101,42 @@ def test_fingerprint_min_size_enforced(spark):
 
     with pytest.raises(ValueError):
         fp.fingerprint_files(spark, [], size=8)
+
+
+def test_unseen_fingerprints_age_out_after_three_polls(spark, tmp_path):
+    """tracker.go:55-57 — knownFiles rotates 3 poll generations: a
+    fingerprint unseen for 3 polls drops from the store, and a file
+    recreated with those bytes afterwards re-reads from zero; one that
+    reappears within the horizon still resumes."""
+    import json
+
+    d = str(tmp_path)
+    content = "aged out content line number one\n"
+    _write(f"{d}/a.log", content)
+    c = fp.FingerprintedConsumer(spark, f"{d}/state", size=16)
+    assert c.poll(f"{d}/*.log").count() == 1
+    os.remove(f"{d}/a.log")
+    _write(f"{d}/b.log", "keepalive so polls see something\n")
+    for _ in range(3):
+        c.poll(f"{d}/*.log")
+    state = json.load(open(f"{d}/state/fingerprint_offsets.json"))
+    # only b's fingerprint survives the 3-generation rotation
+    assert len(state["files"]) == 1
+    # a recreated file with the SAME first bytes is a NEW file now
+    _write(f"{d}/a.log", content)
+    out = [r.line for r in c.poll(f"{d}/*.log").collect()]
+    assert out == [content.strip()]
+
+
+def test_reappearing_file_within_horizon_still_resumes(spark, tmp_path):
+    d = str(tmp_path)
+    content = "short absence content line one\n"
+    _write(f"{d}/a.log", content)
+    c = fp.FingerprintedConsumer(spark, f"{d}/state", size=16)
+    assert c.poll(f"{d}/*.log").count() == 1
+    os.remove(f"{d}/a.log")
+    _write(f"{d}/b.log", "keepalive\n")
+    c.poll(f"{d}/*.log")  # one absent poll (< 3 generations)
+    _write(f"{d}/a.log", content + "tail after reappearing\n")
+    out = [r.line for r in c.poll(f"{d}/*.log").collect()]
+    assert out == ["tail after reappearing"]

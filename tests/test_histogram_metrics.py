@@ -113,3 +113,21 @@ def test_histogram_d2c_running_elementwise_sums(spark):
     assert got[("s", 2, 0)] == (11, 120.0, 4)
     assert got[("s", 2, 1)] == (11, 120.0, 7)
     assert got[("t", 1, 1)] == (1, 10.0, 0)
+
+
+def test_numeric_c2d_monotonic_drops_resets(spark):
+    """Reference reset detection for monotonic sums
+    (tracker.go:176-196): a point below its predecessor is dropped
+    (valid=false), yet still becomes the stored previous — the next
+    point diffs against the reset value."""
+    df = spark.createDataFrame(
+        [("s", 1, 10), ("s", 2, 25), ("s", 3, 4), ("s", 4, 9)],
+        "series string, t long, v long",
+    )
+    out = m.cumulative_to_delta(
+        df, ["series"], "v", ts_col="t", monotonic=True
+    ).orderBy("t").collect()
+    assert [(r.t, r.delta) for r in out] == [(2, 15), (4, 5)]
+    # default (gauge-style) keeps the negative delta
+    out2 = m.cumulative_to_delta(df, ["series"], "v", ts_col="t").orderBy("t").collect()
+    assert [(r.t, r.delta) for r in out2] == [(2, 15), (3, -21), (4, 5)]
