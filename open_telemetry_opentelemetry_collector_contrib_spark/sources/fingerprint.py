@@ -132,7 +132,9 @@ def read_from_offsets(matched: DataFrame) -> DataFrame:
                 if end < 0:
                     continue  # no complete line yet
                 complete = chunk[: end + 1]
-                lines = complete.decode("utf-8", errors="replace").splitlines()
+                # strict \n split (splitlines would also split on \v/\f/\x1c,
+                # desyncing line counts from the byte offset accounting)
+                lines = complete.decode("utf-8", errors="replace").split("\n")[:-1]
                 base = int(off)
                 for i, ln in enumerate(lines):
                     out.append((p, fp, i, ln, base + end + 1))
