@@ -275,6 +275,109 @@ def expo_cumulative_stream(
 
 
 # ---------------------------------------------------------------------------
+# streaming groupbytrace (wait_duration buffering, whole-trace release)
+# ---------------------------------------------------------------------------
+
+GBT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("trace_id", T.StringType()),
+        T.StructField("span_count", T.LongType()),
+        T.StructField("span_ids", T.ArrayType(T.StringType())),
+        T.StructField("max_duration_ms", T.LongType()),
+        T.StructField("error_spans", T.LongType()),
+    ]
+)
+
+GBT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_ts_ms", T.LongType()),
+        T.StructField("buffered", T.StringType()),
+    ]
+)
+
+
+def _gbt_fn_factory(wait_ms: int, error_status: str = "err"):
+    """Streaming groupbytraceprocessor
+    (`groupbytraceprocessor/processor.go:138-190`): the FIRST span of a
+    trace schedules its release wait_duration later; until then every
+    span buffers; at release the COMPLETE trace emits as one aggregated
+    row (the batch group_by_trace shape) and state clears. The
+    reference's wall-clock AfterFunc timer becomes an EVENT-time timeout
+    at first_span_time + wait_duration — on a drained stream that means
+    exactly the traces whose release point the final watermark passed
+    are out, and late-starting traces are still held, which is the
+    observable contract the parity test pins."""
+    import json as _json
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            first_ts, buffered = state.get
+            rows = _json.loads(buffered)
+            state.remove()
+            if rows:
+                rows.sort(key=lambda r: (r["o"], r["s"]))
+                yield pd.DataFrame(
+                    [
+                        (
+                            key[0],
+                            len(rows),
+                            [r["s"] for r in rows],
+                            max(r["d"] for r in rows),
+                            sum(1 for r in rows if r["st"] == error_status),
+                        )
+                    ],
+                    columns=[
+                        "trace_id",
+                        "span_count",
+                        "span_ids",
+                        "max_duration_ms",
+                        "error_spans",
+                    ],
+                )
+            return
+        if state.exists:
+            first_ts, buffered = state.get
+            buf = _json.loads(buffered)
+        else:
+            first_ts, buf = None, []
+        for pdf in pdf_iter:
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).astype("int64")
+            batch_first = int(ts_ms.min()) if len(ts_ms) else None
+            if batch_first is not None:
+                first_ts = batch_first if first_ts is None else min(first_ts, batch_first)
+            for o, s, d, st in zip(
+                pdf["turn_idx"], pdf["span_id"], pdf["duration_ms"], pdf["status"]
+            ):
+                buf.append(
+                    {"o": int(o), "s": str(s), "d": int(d), "st": str(st)}
+                )
+        state.update((first_ts, _json.dumps(buf)))
+        if first_ts is not None:
+            # the release timer; must stay ahead of the current watermark
+            # (Spark rejects a timeout at/below it)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(first_ts + wait_ms, wm + 1))
+        return
+
+    return fn
+
+
+def group_by_trace_stream(
+    spans: DataFrame, wait_duration_ms: int, error_status: str = "err"
+) -> DataFrame:
+    """groupbytrace under streaming: buffer per trace_id, release the
+    assembled trace wait_duration after its first span (event time).
+    Input must carry a watermark on ``ts``."""
+    return spans.groupBy("trace_id").applyInPandasWithState(
+        _gbt_fn_factory(wait_duration_ms, error_status),
+        outputStructType=GBT_OUT_SCHEMA,
+        stateStructType=GBT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming tail sampling (decision-then-release with a decision cache)
 # ---------------------------------------------------------------------------
 

@@ -359,3 +359,96 @@ def test_expo_state_carryover_across_batches(spark):
     assert got == exp
     # the collapse really happened: final state scale is the running min
     assert st.get[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# streaming groupbytrace wait_duration release
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_groupbytrace_wait_duration(spark, tmp_path):
+    """Reference flow (`groupbytraceprocessor/processor.go:138-190`): a
+    trace releases wait_duration after its FIRST span; a trace whose
+    release point the watermark has not passed stays buffered. Two
+    availableNow drains share one checkpoint (the watermark persists in
+    the commit log), modeling continuous operation: the second drain's
+    batch fires the matured timeout. The released trace must equal the
+    batch group_by_trace row."""
+    import datetime as dt
+
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators import (
+        traces as trace_ops,
+    )
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+    late0 = dt.datetime(2024, 6, 1, 10, 10, 0)
+    rows = [
+        ("early", "e#0", 0, 120, "ok", t0),
+        ("early", "e#1", 1, 340, "err", t0 + dt.timedelta(seconds=1)),
+        ("early", "e#2", 2, 90, "ok", t0 + dt.timedelta(seconds=2)),
+        ("late", "l#0", 0, 55, "ok", late0),
+    ]
+    schema = (
+        "trace_id string, span_id string, turn_idx long, duration_ms long, "
+        "status string, ts timestamp"
+    )
+    src = os.path.join(str(tmp_path), "gbt_spans")
+    ckpt = os.path.join(str(tmp_path), "gbt_ckpt")
+    # two files with DETERMINISTIC mtime order (file source processes
+    # oldest-first): the early trace must enter state before the late
+    # file advances the watermark, else its timer is clamped above the
+    # final watermark and the release would nondeterministically not
+    # mature within the drains
+    import time as _time
+
+    early_rows = [r for r in rows if r[0] == "early"]
+    late_rows = [r for r in rows if r[0] == "late"]
+    spark.createDataFrame(early_rows, schema).coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(late_rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    sink = os.path.join(str(tmp_path), "gbt_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(T._parse_datatype_string(schema))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "0 seconds")
+        )
+        out = stateful.group_by_trace_stream(stream, wait_duration_ms=60_000)
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # a later flush batch (its own trace buffers too) matures the early
+    # trace's timer: the persisted watermark is already 10:10
+    flush = [("flush", "f#0", 0, 10, "ok", dt.datetime(2024, 6, 1, 10, 5, 0))]
+    spark.createDataFrame(flush, schema).write.mode("append").parquet(src)
+    drain()
+    got = {r.trace_id: r for r in spark.read.parquet(sink).collect()}
+
+    # 'early' released (10:01 release point < watermark 10:10); 'late'
+    # (10:11) and 'flush' (10:06 but timer clamped above the 10:10
+    # watermark) still held
+    assert set(got) == {"early"}
+    batch = {
+        r.trace_id: r
+        for r in trace_ops.group_by_trace(
+            spark.createDataFrame(rows, schema).filter(F.col("trace_id") == "early")
+        ).collect()
+    }
+    g, b = got["early"], batch["early"]
+    assert (g.span_count, g.span_ids, g.max_duration_ms, g.error_spans) == (
+        b.span_count,
+        b.span_ids,
+        b.max_duration_ms,
+        b.error_spans,
+    )
