@@ -111,6 +111,17 @@ class LogContext:
         ("body", "string"): ("text", "string"),
         ("time",): ("ts", "time"),
         ("severity_text",): ("level", "string"),
+        # instrumentation scope scalar paths (`contexts/internal/
+        # scope.go:24-37`) — shared by every context, like the reference's
+        # higher-tier scope access; flat scope_* columns on the
+        # denormalized frame
+        ("instrumentation_scope", "name"): ("scope_name", "string"),
+        ("instrumentation_scope", "version"): ("scope_version", "string"),
+        ("instrumentation_scope", "schema_url"): ("scope_schema_url", "string"),
+        ("instrumentation_scope", "dropped_attributes_count"): (
+            "scope_dropped_attributes_count",
+            "int",
+        ),
     }
 
     def __init__(self, df: DataFrame):
@@ -131,8 +142,16 @@ class LogContext:
             )
         if segs == ("observed_time",):
             return TypedCol(F.current_timestamp(), "time")
-        if segs == ("attributes",) or segs == ("resource", "attributes"):
-            map_col = "attributes" if segs == ("attributes",) else "resource"
+        if segs in (
+            ("attributes",),
+            ("resource", "attributes"),
+            ("instrumentation_scope", "attributes"),
+        ):
+            map_col = {
+                ("attributes",): "attributes",
+                ("resource", "attributes"): "resource",
+                ("instrumentation_scope", "attributes"): "scope",
+            }[segs]
             if not keys:
                 if map_col in self.schema:
                     return self._col(map_col)
@@ -171,8 +190,16 @@ class LogContext:
             return "column", self.BUILTIN[segs][0]
         if segs == ("cache",) and keys:
             return "column", f"__cache_{keys[0]}"
-        if segs in (("attributes",), ("resource", "attributes")):
-            map_col = "attributes" if segs == ("attributes",) else "resource"
+        if segs in (
+            ("attributes",),
+            ("resource", "attributes"),
+            ("instrumentation_scope", "attributes"),
+        ):
+            map_col = {
+                ("attributes",): "attributes",
+                ("resource", "attributes"): "resource",
+                ("instrumentation_scope", "attributes"): "scope",
+            }[segs]
             if keys:
                 key = str(keys[0])
                 if map_col == "attributes" and key in self.schema:

@@ -69,3 +69,59 @@ def test_log_attributes_map_set(frame):
 def test_keep_matching_on_resource(frame):
     df = apply_statement(frame, 'keep_matching_keys(resource, "service.*")')
     assert set(row(df).resource) == {"service.name"}
+
+
+# ---------------------------------------------------------------------------
+# instrumentation scope paths (`pkg/ottl/contexts/internal/scope.go:24-37`)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def scope_frame(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("operationA", "scope", "1.2.0", 0)],
+        "text string, scope_name string, scope_version string, "
+        "scope_dropped_attributes_count int",
+    )
+    return df.withColumn(
+        "scope", F.create_map(F.lit("lib.kind"), F.lit("internal"))
+    ).withColumn("attributes", F.create_map(F.lit("keep"), F.lit("x")))
+
+
+def test_scope_scalar_paths(scope_frame):
+    df = apply_statement(
+        scope_frame,
+        'set(attributes["sv"], Concat([instrumentation_scope.name, '
+        'instrumentation_scope.version], "@")) '
+        'where instrumentation_scope.name == "scope"',
+    )
+    row = df.collect()[0]
+    assert dict(row.attributes)["sv"] == "scope@1.2.0"
+
+
+def test_scope_attributes_get_and_set(scope_frame):
+    df = apply_statement(
+        scope_frame,
+        'set(instrumentation_scope.attributes["lib.tier"], "core") '
+        'where instrumentation_scope.attributes["lib.kind"] == "internal"',
+    )
+    row = df.collect()[0]
+    assert dict(row.scope) == {"lib.kind": "internal", "lib.tier": "core"}
+
+
+def test_scope_scalar_set(scope_frame):
+    df = apply_statement(
+        scope_frame, 'set(instrumentation_scope.version, "2.0.0")'
+    )
+    assert df.collect()[0].scope_version == "2.0.0"
+
+
+def test_scope_dropped_count_condition(scope_frame):
+    df = apply_statement(
+        scope_frame,
+        'set(attributes["t"], "pass") '
+        'where instrumentation_scope.dropped_attributes_count == 0',
+    )
+    assert dict(df.collect()[0].attributes)["t"] == "pass"
