@@ -206,9 +206,14 @@ def oracle_sql() -> dict[str, str]:
         TRAINING_ORACLES,
     )
 
+    from open_telemetry_opentelemetry_collector_contrib_spark.plans.metric_catalog import (
+        METRICFN_ORACLES,
+    )
+
     out = dict(CATALOG_ORACLES)
     out.update(CATALOG2_ORACLES)
     out.update(TRAINING_ORACLES)
+    out.update(METRICFN_ORACLES)
     out.update(_flagship_oracles())
     return out
 
@@ -265,9 +270,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         TRAINING_QUERIES,
     )
 
+    from open_telemetry_opentelemetry_collector_contrib_spark.plans.metric_catalog import (
+        METRICFN_QUERIES,
+    )
+
     out = dict(CATALOG_QUERIES)
     out.update(CATALOG2_QUERIES)
     out.update(TRAINING_QUERIES)
+    out.update(METRICFN_QUERIES)
     out.update(_flagship_queries())
     # Stable priority ordering: queries whose driver correctness rows are
     # STALEST lead the dict so a prefix-sampling driver refreshes them first.
@@ -320,6 +330,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temperature_docs",
         "interval_passthrough",
         "minhash_incremental",
+        "metric_convert_gauge_sum",
+        "extract_histogram_sum_count",
+        "summary_convert_sums",
+        "copy_scale_metric",
+        "expo_to_explicit_upper",
+        "expo_to_explicit_uniform",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

@@ -1037,4 +1037,65 @@ def call_editor(df: DataFrame, call: FuncCall, ctx: LogContext, cond: Column | N
         old = F.col(key)
         return df.withColumn(key, _guarded(new, old, cond))
 
+    if name in ("convert_sum_to_gauge", "convert_gauge_to_sum", "scale_metric"):
+        # transformprocessor metric-context per-row editors
+        # (`processor/transformprocessor/internal/metrics/func_convert_sum_to_gauge.go`,
+        # `func_convert_gauge_to_sum.go`, `func_scale.go`). The where-clause
+        # cond composes with the type guard; metric-appending functions of
+        # that family (extract_*/copy_metric/convert_summary_*) change row
+        # counts and live in operators/metricfns.py instead.
+        from ..operators import metricfns as _mf
+
+        if "metric_type" not in ctx.schema:
+            raise OTTLCompileError(f"{name} requires a metric-context frame")
+
+        def guard(type_cond: Column) -> Column:
+            return type_cond if cond is None else (type_cond & cond)
+
+        if name == "convert_sum_to_gauge":
+            m = guard(F.col("metric_type") == _mf.SUM)
+            out = {"metric_type": F.when(m, F.lit(_mf.GAUGE)).otherwise(F.col("metric_type"))}
+            for c, reset in (("temporality", F.lit(0)), ("is_monotonic", F.lit(False))):
+                if c in ctx.schema:
+                    out[c] = F.when(m, reset).otherwise(F.col(c))
+            return df.withColumns(out)
+        if name == "convert_gauge_to_sum":
+            temp = _mf._temporality(str(_lit_of(args[0], "aggregation temporality")))
+            mono = bool(_lit_of(args[1], "monotonic"))
+            m = guard(F.col("metric_type") == _mf.GAUGE)
+            return df.withColumns(
+                {
+                    "metric_type": F.when(m, F.lit(_mf.SUM)).otherwise(F.col("metric_type")),
+                    "temporality": F.when(m, F.lit(temp)).otherwise(
+                        F.col("temporality") if "temporality" in ctx.schema else F.lit(0)
+                    ),
+                    "is_monotonic": F.when(m, F.lit(mono)).otherwise(
+                        F.col("is_monotonic") if "is_monotonic" in ctx.schema else F.lit(False)
+                    ),
+                }
+            )
+        # scale_metric(multiplier[, unit])
+        mult = float(_lit_of(args[0], "multiplier"))
+        out = {}
+        scalable = guard(F.col("metric_type").isin(_mf.GAUGE, _mf.SUM))
+        hist = guard(F.col("metric_type") == _mf.HISTOGRAM)
+        if "value_double" in ctx.schema:
+            out["value_double"] = F.when(
+                scalable, F.col("value_double") * F.lit(mult)
+            ).otherwise(F.col("value_double"))
+        for c in ("hsum", "hmin", "hmax"):
+            if c in ctx.schema:
+                out[c] = F.when(hist, F.col(c) * F.lit(mult)).otherwise(F.col(c))
+        if "explicit_bounds" in ctx.schema:
+            out["explicit_bounds"] = F.when(
+                hist,
+                F.transform(F.col("explicit_bounds"), lambda b: b * F.lit(mult)),
+            ).otherwise(F.col("explicit_bounds"))
+        if len(args) > 1 and "unit" in ctx.schema:
+            u = str(_lit_of(args[1], "unit"))
+            out["unit"] = F.when(
+                guard(F.lit(True)), F.lit(u)
+            ).otherwise(F.col("unit"))
+        return df.withColumns(out)
+
     raise OTTLCompileError(f"unknown editor {name}")
