@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copy_scale_metric",
         "expo_to_explicit_upper",
         "expo_to_explicit_uniform",
+        "semdedup",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

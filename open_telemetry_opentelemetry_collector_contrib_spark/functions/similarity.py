@@ -368,3 +368,113 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "cos_ppb")
         .distinct()
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    eps_sq_num: int = 7225,
+    eps_sq_den: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + intra-cluster pairwise cosine
+    thresholding. A document is DROPPED when its cluster contains an
+    eps-similar document with a smaller id (min-id representative — the
+    paper keeps the member farthest from the centroid; min-id is our
+    deterministic, engine-portable tie-break for the same dedup-ratio
+    semantics, documented divergence).
+
+    Exactness: similarity runs on int8-quantized vectors (quantize_vec —
+    per-vector scales cancel in cosine), and the threshold test
+    ``cos >= eps`` is evaluated as the INTEGER cross-multiplication
+    ``dot > 0 AND eps_den * dot^2 >= eps_num * |a|^2 * |b|^2`` with
+    eps^2 = eps_sq_num/eps_sq_den rational — no float division, no sqrt,
+    so a pair can never straddle the threshold differently in Spark and
+    DuckDB. (64 dims x 127^2 keeps every product under 2^54.)
+
+    Scale: assignment is one map-side argmin over the literal centroid
+    table. The intra-cluster self-join is quadratic per cluster — the
+    paper runs k ~ O(corpus/target_cluster_size) (110k clusters for
+    LAION) precisely so clusters stay small; the parallelism of the pair
+    stage IS the cluster count, so k is the knob. Clusters above
+    ``max_cluster_size`` are skipped wholesale (hot-bucket cap, same
+    policy as embedding_near_dup_pairs): a degenerate centroid attracting
+    a quadratic blob is exactly what exact-hash dedup upstream removes.
+
+    Output: (id_col, cluster, kept) for every input document.
+    """
+    from pyspark.sql import Window
+
+    corpus = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+
+    def _dist2(vec: Column, center: list[float]) -> Column:
+        carr = F.array(*[F.lit(float(x)) for x in center])
+        diff = F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    cdists = F.array(
+        *[
+            F.struct(_dist2(F.col("__v"), c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    assigned = (
+        corpus.withColumn("__cluster", F.array_sort(cdists)[0]["c"])
+        .withColumn("__q", quantize_vec(F.col("__v")))
+        .drop("__v")
+    )
+
+    def idot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    wsz = Window.partitionBy("__cluster")
+    capped = (
+        assigned.withColumn("__sz", F.count(F.lit(1)).over(wsz))
+        .filter(F.col("__sz") <= max_cluster_size)
+        .drop("__sz")
+        .withColumn("__n", idot(F.col("__q"), F.col("__q")))
+        .persist()
+    )
+    a = capped.select(
+        F.col(id_col).alias("__id_a"),
+        F.col("__q").alias("__qa"),
+        F.col("__n").alias("__na"),
+        "__cluster",
+    )
+    b = capped.select(
+        F.col(id_col).alias("__id_b"),
+        F.col("__q").alias("__qb"),
+        F.col("__n").alias("__nb"),
+        "__cluster",
+    )
+    dot = idot(F.col("__qa"), F.col("__qb"))
+    dup = (dot > 0) & (
+        F.lit(int(eps_sq_den)) * dot * dot
+        >= F.lit(int(eps_sq_num)) * F.col("__na") * F.col("__nb")
+    )
+    dropped = (
+        a.join(b, "__cluster")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(dup)
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("__d", F.lit(1)), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.col("__cluster").cast("bigint").alias("cluster"),
+            F.col("__d").isNull().alias("kept"),
+        )
+    )

@@ -1257,9 +1257,79 @@ WHERE ({hx}) % 1000000 < (CASE {whens} ELSE {int(_MIX_DEFAULT * 1_000_000)} END)
 """
 
 
+_SEMDEDUP_EPS_SQ = (7225, 10000)  # eps = 0.85 cosine, squared as a rational
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (functions/similarity.py semdedup):
+    deterministic injected centroids (same seed vectors as ann_ivf_recall),
+    int8-quantized intra-cluster cosine with a rational eps^2
+    cross-multiplication test — integer-exact in both engines. Planted
+    near-duplicates (vec_id+1000000 copies) guarantee a non-empty dropped
+    set at every SF."""
+    emb = _planted_embeddings(spark, sf_dir)
+    return similarity.semdedup(
+        emb,
+        centroids=_seed_centroids(spark, sf_dir),
+        eps_sq_num=_SEMDEDUP_EPS_SQ[0],
+        eps_sq_den=_SEMDEDUP_EPS_SQ[1],
+    )
+
+
+def _semdedup_oracle() -> str:
+    ids = ", ".join(str(i) for i in _IVF_SEED_IDS)
+    d = _DIM
+    dist = (
+        f"list_sum([(b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i]) "
+        f"for i in range(1, {d + 1})])"
+    )
+    num, den = _SEMDEDUP_EPS_SQ
+    return f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id IN ({ids})
+), raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), base AS (
+  SELECT vec_id, v FROM raw
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, [v[1] + 0.01] || v[2:] AS v
+  FROM raw WHERE vec_id % 25 = 0
+), assigned AS (
+  SELECT vec_id, v, c FROM (
+    SELECT b.vec_id, b.v, c.c,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY {dist}, c.c) AS rn
+    FROM base b CROSS JOIN cent c
+  ) WHERE rn = 1
+), quant AS (
+  SELECT vec_id, c,
+         list_transform(v, x -> CASE WHEN m > 0
+             THEN CAST(floor(x * 127 / m) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END) AS q
+  FROM (SELECT vec_id, c, v,
+               list_max(list_transform(v, x -> abs(x))) AS m
+        FROM assigned)
+), norms AS (
+  SELECT vec_id, c, q, CAST(list_dot_product(q, q) AS BIGINT) AS n
+  FROM quant
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM norms a JOIN norms b ON a.c = b.c AND a.vec_id < b.vec_id
+  WHERE CAST(list_dot_product(a.q, b.q) AS BIGINT) > 0
+    AND {den} * CAST(list_dot_product(a.q, b.q) AS BIGINT)
+              * CAST(list_dot_product(a.q, b.q) AS BIGINT)
+        >= {num} * a.n * b.n
+)
+SELECT s.vec_id, CAST(s.c AS BIGINT) AS cluster,
+       d.vec_id IS NULL AS kept
+FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+"""
+
+
 TRAINING_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "mix_sample_docs": q_mix_sample_docs,
+    "semdedup": q_semdedup,
     "mix_temperature_docs": q_mix_temperature_docs,
     "dataset_split": q_dataset_split,
     "exact_dedup": q_exact_dedup,
@@ -1294,6 +1364,7 @@ TRAINING_QUERIES = {
 TRAINING_ORACLES = {
     "pack_sequences": packing.pack_oracle_sql(_PACK_BUDGET, _PACK_SHARDS),
     "mix_sample_docs": _mix_sample_oracle(),
+    "semdedup": _semdedup_oracle(),
     "mix_temperature_docs": O_MIX_TEMPERATURE,
     "dataset_split": _dataset_split_oracle(),
     "exact_dedup": O_EXACT_DEDUP,

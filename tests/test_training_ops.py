@@ -532,3 +532,34 @@ def test_minhash_incremental_matches_full_restriction(spark):
         ).collect()
     }
     assert inc2 == expected
+
+
+def test_semdedup_min_id_keep_rule(spark):
+    """semdedup keeps the min-id member of every intra-cluster eps-group
+    and never drops across clusters (functions/similarity.py semdedup)."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.functions import (
+        similarity,
+    )
+
+    dim = 4
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.01, 0.0, 0.0]),   # cluster 0, group A representative
+        (2, [1.0, 0.02, 0.0, 0.0]),   # near-dup of 1 -> dropped
+        (3, [0.9, 0.015, 0.0, 0.0]),  # near-dup of 1 (scale-invariant) -> dropped
+        (4, [0.7, 0.7, 0.1, 0.0]),    # cluster boundary-ish, dissimilar: kept
+        (5, [0.0, 1.0, 0.01, 0.0]),   # cluster 1 representative
+        (6, [0.0, 1.0, 0.02, 0.0]),   # near-dup of 5 -> dropped
+        (7, [0.0, 0.1, 1.0, 0.5]),    # cluster 1, dissimilar: kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in similarity.semdedup(
+        df, centroids, eps_sq_num=98, eps_sq_den=100
+    ).collect()}
+    assert len(out) == len(rows)  # every doc gets a verdict
+    kept = {i for i, r in out.items() if r.kept}
+    assert kept == {1, 4, 5, 7}
+    # cluster assignment sanity: groups land where their centroid is
+    assert out[1].cluster == 0 and out[5].cluster == 1
+    # min-id rule: the smallest id of each eps-group is the one kept
+    assert not out[2].kept and not out[3].kept and not out[6].kept
