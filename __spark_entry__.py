@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expo_to_explicit_upper",
         "expo_to_explicit_uniform",
         "semdedup",
+        "repeated_spans",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

@@ -639,3 +639,66 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("v").alias("node"), F.col("label").alias("component"))
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level dedup, the distributed approximation of
+    suffix-array exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a token position whose
+    word n-gram occurs in >= ``min_docs`` DISTINCT documents marks the
+    token span [pos, pos+n); overlapping/adjacent marked spans merge per
+    document (gaps-and-islands). Output one row per merged span:
+    (id, span_start, span_end, n_grams) in 1-based token coordinates,
+    end-exclusive — the downstream cut list for span removal.
+
+    Scale: unlike pairwise dedup there is NO quadratic stage — positions
+    join against the duplicated-gram SET on the gram key (fan-out 1), so a
+    boilerplate gram in a million docs costs a million marked rows, not a
+    million-squared join; no frequency cap is needed. Two shuffles on the
+    same gram key (count + join back, AQE-reusable) plus the per-doc
+    window — doc_id is the high-cardinality key the corpus is already
+    organized by."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.size(words) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_df = df.select(
+        F.col(id_col), F.posexplode(grams).alias("__p0", "__gram")
+    ).select(id_col, (F.col("__p0") + 1).alias("pos"), "__gram")
+
+    dup = (
+        pos_df.groupBy("__gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__gram")
+    )
+    marked = pos_df.join(dup, "__gram").select(id_col, "pos")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    island = F.sum(
+        (prev.isNull() | (F.col("pos") > prev + n)).cast("int")
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        marked.withColumn("__g", island)
+        .groupBy(id_col, "__g")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + n).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .drop("__g")
+    )

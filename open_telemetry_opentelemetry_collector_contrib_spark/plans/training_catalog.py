@@ -1257,6 +1257,51 @@ WHERE ({hx}) % 1000000 < (CASE {whens} ELSE {int(_MIX_DEFAULT * 1_000_000)} END)
 """
 
 
+_SPAN_N = 5
+
+
+def q_repeated_spans(spark, sf_dir):
+    """Cross-document repeated n-gram span detection
+    (functions/dedupe.py repeated_ngram_spans — the linear, set-join
+    approximation of suffix-array substring dedup). Output: merged
+    duplicated token spans per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedupe.repeated_ngram_spans(docs, n=_SPAN_N, min_docs=2)
+
+
+def _repeated_spans_oracle() -> str:
+    n = _SPAN_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), pos AS (
+  SELECT doc_id,
+         unnest(range(1, len(w) - {n} + 2)) AS pos,
+         unnest([array_to_string(w[i:i+{n - 1}], ' ')
+                 for i in range(1, len(w) - {n} + 2)]) AS gram
+  FROM toks WHERE len(w) >= {n}
+), dup AS (
+  SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gram)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + {n}
+              THEN 1 ELSE 0 END AS ni
+  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), grp AS (
+  SELECT doc_id, pos,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {n} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM grp GROUP BY doc_id, g
+"""
+
+
 _SEMDEDUP_EPS_SQ = (7225, 10000)  # eps = 0.85 cosine, squared as a rational
 
 
@@ -1330,6 +1375,7 @@ TRAINING_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "mix_sample_docs": q_mix_sample_docs,
     "semdedup": q_semdedup,
+    "repeated_spans": q_repeated_spans,
     "mix_temperature_docs": q_mix_temperature_docs,
     "dataset_split": q_dataset_split,
     "exact_dedup": q_exact_dedup,
@@ -1365,6 +1411,7 @@ TRAINING_ORACLES = {
     "pack_sequences": packing.pack_oracle_sql(_PACK_BUDGET, _PACK_SHARDS),
     "mix_sample_docs": _mix_sample_oracle(),
     "semdedup": _semdedup_oracle(),
+    "repeated_spans": _repeated_spans_oracle(),
     "mix_temperature_docs": O_MIX_TEMPERATURE,
     "dataset_split": _dataset_split_oracle(),
     "exact_dedup": O_EXACT_DEDUP,

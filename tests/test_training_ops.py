@@ -563,3 +563,28 @@ def test_semdedup_min_id_keep_rule(spark):
     assert out[1].cluster == 0 and out[5].cluster == 1
     # min-id rule: the smallest id of each eps-group is the one kept
     assert not out[2].kept and not out[3].kept and not out[6].kept
+
+
+def test_repeated_ngram_spans_merge_and_cut_list(spark):
+    """repeated_ngram_spans marks exactly the cross-doc duplicated token
+    runs and merges overlapping n-gram hits into maximal spans."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.functions import (
+        dedupe as dd,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 shared tokens
+    rows = [
+        (1, f"one two three {shared} four five"),
+        (2, f"x y {shared} z"),
+        (3, "totally unique words nothing here repeats at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_id): (r.span_start, r.span_end, r.n_grams)
+        for r in dd.repeated_ngram_spans(df, n=5, min_docs=2).collect()
+    }
+    # doc 1: shared run occupies tokens 4..9 -> two 5-gram hits at pos 4,5
+    # merged into [4, 10); doc 2: tokens 3..8 -> [3, 9)
+    assert out[1] == (4, 10, 2)
+    assert out[2] == (3, 9, 2)
+    assert 3 not in out  # no cross-doc repeats
