@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     "decontaminate_bloom",
     "mix_temperature_docs",
     "interval_passthrough",
+    "expo_to_explicit_upper",
+    "semdedup",
+    "repeated_spans",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"
