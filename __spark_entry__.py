@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expo_to_explicit_uniform",
         "semdedup",
         "repeated_spans",
+        "aggregate_on_attrs_stmt",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

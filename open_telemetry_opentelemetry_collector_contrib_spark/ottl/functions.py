@@ -1037,6 +1037,78 @@ def call_editor(df: DataFrame, call: FuncCall, ctx: LogContext, cond: Column | N
         old = F.col(key)
         return df.withColumn(key, _guarded(new, old, cond))
 
+    if name in ("aggregate_on_attributes", "aggregate_on_attribute_value"):
+        # transformprocessor metric-context datapoint aggregation
+        # (`func_aggregate_on_attributes_metrics.go:39-57`,
+        # `func_agregate_on_attribute_value_metrics.go:44-70`,
+        # `internal/coreinternal/aggregateutil/aggregate.go`). Frame
+        # contract: datapoint attributes live in the `attributes` map
+        # column; value columns are value_double/value_int (+ histogram
+        # scalars cnt/hsum). Documented simplifications vs the reference:
+        # bucket-array merge lives in operators/metricstransform (not
+        # statement-callable), Summary rows pass through unaggregated
+        # (the reference errors the whole statement), and delta-vs-
+        # cumulative start-time grouping follows the frame: start_ts is
+        # part of the group key whenever the column exists.
+        _AGG_FNS = {
+            "sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+            "count": F.count, "median": F.median,
+        }
+        fn_name = str(_lit_of(args[0], "aggregation function"))
+        if fn_name not in _AGG_FNS:
+            raise OTTLCompileError(
+                f"invalid aggregation function: '{fn_name}', valid options: "
+                + ", ".join(sorted(_AGG_FNS))
+            )
+        if "attributes" not in ctx.schema:
+            raise OTTLCompileError(f"{name} requires an `attributes` map column")
+        agg_fn = _AGG_FNS[fn_name]
+        m = F.col("attributes")
+        if name == "aggregate_on_attributes":
+            if len(args) > 1:
+                keep = [str(_lit_of(a, "attribute")) for a in args[1].args]
+                new_attrs = F.map_filter(
+                    m, lambda k, _: k.isin(*[F.lit(x) for x in keep])
+                )
+            else:
+                new_attrs = m
+        else:
+            attr = str(_lit_of(args[1], "attribute"))
+            values = [str(_lit_of(a, "value")) for a in args[2].args]
+            newv = str(_lit_of(args[3], "new value"))
+            new_attrs = F.transform_values(
+                m,
+                lambda k, v: F.when(
+                    (k == attr) & v.isin(*[F.lit(x) for x in values]),
+                    F.lit(newv),
+                ).otherwise(v),
+            )
+        summary_pass = (
+            (F.col("metric_type") == 5)
+            if "metric_type" in ctx.schema
+            else F.lit(False)
+        )
+        gate = (~summary_pass) if cond is None else (
+            F.coalesce(cond, F.lit(False)) & ~summary_pass
+        )
+        cols = list(ctx.schema)
+        value_cols = [
+            c for c in ("value_double", "value_int", "cnt", "hsum") if c in ctx.schema
+        ]
+        if not value_cols:
+            raise OTTLCompileError(f"{name}: no datapoint value columns on this frame")
+        group_cols = [c for c in cols if c not in value_cols and c != "attributes"]
+        agged = (
+            df.filter(gate)
+            .withColumn("__akey", F.array_sort(F.map_entries(new_attrs)))
+            .groupBy(*group_cols, "__akey")
+            .agg(*[agg_fn(c).alias(c) for c in value_cols])
+            .withColumn("attributes", F.map_from_entries("__akey"))
+            .select(*cols)
+        )
+        rest = df.filter(~gate).select(*cols)
+        return rest.unionByName(agged)
+
     if name in ("convert_sum_to_gauge", "convert_gauge_to_sum", "scale_metric"):
         # transformprocessor metric-context per-row editors
         # (`processor/transformprocessor/internal/metrics/func_convert_sum_to_gauge.go`,

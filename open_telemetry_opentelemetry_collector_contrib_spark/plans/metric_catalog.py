@@ -446,7 +446,75 @@ GROUP BY series, window_id, i.bucket_idx
 """
 
 
+def q_aggregate_on_attrs_stmt(spark, sf_dir):
+    """aggregate_on_attributes + aggregate_on_attribute_value as CHAINED
+    metric-context OTTL statements (`func_aggregate_on_attributes_metrics
+    .go:39-57`, `func_agregate_on_attribute_value_metrics.go:44-70`): the
+    first collapses the `et` attribute (keep list ["shard"]) summing
+    across it, the second merges shard values s0,s1 into s01 and re-sums.
+    Both lower to map-keyed groupBys on the denormalized datapoint frame;
+    the second group runs over the already-collapsed (tiny) frame."""
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.groupBy(
+            _window().alias("window_id"),
+            F.col("event_type").alias("et"),
+            F.concat(F.lit("s"), F.pmod(F.col("user_id"), F.lit(4))).alias(
+                "shard"
+            ),
+        )
+        .agg(F.count("*").cast("long").alias("value_int"))
+        .select(
+            F.lit("calls").alias("metric_name"),
+            F.lit(mf.SUM).alias("metric_type"),
+            "window_id",
+            F.map_from_arrays(
+                F.array(F.lit("et"), F.lit("shard")),
+                F.array(F.col("et"), F.col("shard")),
+            ).alias("attributes"),
+            "value_int",
+        )
+    )
+    out = transform_ops.transform(
+        base,
+        [
+            transform_ops.StatementGroup(
+                context="metric",
+                statements=[
+                    'aggregate_on_attributes("sum", ["shard"])',
+                    'aggregate_on_attribute_value("sum", "shard", '
+                    '["s0", "s1"], "s01")',
+                ],
+            )
+        ],
+    )
+    return out.select(
+        "metric_name",
+        "window_id",
+        F.element_at("attributes", "shard").alias("shard"),
+        F.col("value_int").cast("bigint").alias("value_int"),
+    )
+
+
+O_AGGREGATE_ON_ATTRS_STMT = """
+WITH base AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS window_id,
+         's' || CAST(((user_id % 4) + 4) % 4 AS VARCHAR) AS shard,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, event_type, 2
+), s1 AS (
+  SELECT window_id, shard, CAST(sum(v) AS BIGINT) AS v
+  FROM base GROUP BY 1, 2
+)
+SELECT 'calls' AS metric_name, window_id,
+       CASE WHEN shard IN ('s0', 's1') THEN 's01' ELSE shard END AS shard,
+       CAST(sum(v) AS BIGINT) AS value_int
+FROM s1 GROUP BY 1, 2, 3
+"""
+
+
 METRICFN_QUERIES = {
+    "aggregate_on_attrs_stmt": q_aggregate_on_attrs_stmt,
     "metric_convert_gauge_sum": q_metric_convert_gauge_sum,
     "extract_histogram_sum_count": q_extract_histogram_sum_count,
     "summary_convert_sums": q_summary_convert_sums,
@@ -456,6 +524,7 @@ METRICFN_QUERIES = {
 }
 
 METRICFN_ORACLES = {
+    "aggregate_on_attrs_stmt": O_AGGREGATE_ON_ATTRS_STMT,
     "metric_convert_gauge_sum": O_METRIC_CONVERT_GAUGE_SUM,
     "extract_histogram_sum_count": O_EXTRACT_HISTOGRAM_SUM_COUNT,
     "summary_convert_sums": O_SUMMARY_CONVERT_SUMS,

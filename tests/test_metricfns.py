@@ -228,6 +228,51 @@ def test_scale_metric_ottl_statement(spark):
     assert out["h"].hsum == 7.25              # histogram not matched by where
 
 
+def test_aggregate_on_attributes_statement(spark):
+    """aggregate_on_attributes editor: keep-list collapse, where-clause
+    pass-through, and Summary rows passing through unaggregated."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators import (
+        transform as transform_ops,
+    )
+
+    rows = [
+        ("m", mf.SUM, {"et": "a", "shard": "s0"}, 1),
+        ("m", mf.SUM, {"et": "b", "shard": "s0"}, 2),
+        ("m", mf.SUM, {"et": "a", "shard": "s1"}, 4),
+        ("other", mf.SUM, {"et": "a", "shard": "s0"}, 8),
+        ("q", mf.SUMMARY, {"et": "a", "shard": "s0"}, 16),
+        ("q", mf.SUMMARY, {"et": "b", "shard": "s0"}, 32),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "metric_name string, metric_type int, "
+        "attributes map<string,string>, value_int long",
+    )
+    out = transform_ops.transform(
+        df,
+        [
+            transform_ops.StatementGroup(
+                context="metric",
+                statements=[
+                    'aggregate_on_attributes("sum", ["shard"]) '
+                    'where metric.name == "m"'
+                ],
+            )
+        ],
+    ).collect()
+    got = {
+        (r.metric_name, tuple(sorted(r.attributes.items())), r.value_int)
+        for r in out
+    }
+    assert (("m", (("shard", "s0"),), 3)) in got      # a+b collapsed
+    assert (("m", (("shard", "s1"),), 4)) in got
+    assert (("other", (("et", "a"), ("shard", "s0")), 8)) in got  # where-gated
+    # summaries pass through with attrs intact
+    assert (("q", (("et", "a"), ("shard", "s0")), 16)) in got
+    assert (("q", (("et", "b"), ("shard", "s0")), 32)) in got
+    assert len(out) == 5
+
+
 def test_copy_and_scale_metric(spark):
     df = _metric_frame(spark).withColumn(
         "explicit_bounds",
