@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup",
         "repeated_spans",
         "aggregate_on_attrs_stmt",
+        "conv_dedup",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

@@ -702,3 +702,46 @@ def repeated_ngram_spans(
         )
         .drop("__g")
     )
+
+
+def conv_exact_dedup(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    payload_cols: tuple[str, ...] = ("role", "text", "tool"),
+) -> DataFrame:
+    """Conversation-level exact dedup over multi-turn transcripts: the
+    fingerprint is md5 over the turn-ordered concatenation of the payload
+    fields (unit-separator delimited), so two conversations are duplicates
+    iff every turn matches in content AND order — the conversation analog
+    of document exact_dedup. Keep rule: min conv_id per fingerprint group.
+
+    Scale: the per-conversation fold is one groupBy on the conv key the
+    corpus is already bucketed by (no extra exchange on the bucketed
+    layout); the fingerprint group stage shuffles ONE 16-byte row per
+    conversation. collect_list is bounded by conversation length, not
+    corpus size. Output: (conv, fingerprint, n_turns, group_n, kept).
+    """
+    payload = F.concat_ws("\x1e", *[F.col(c) for c in payload_cols])
+    turns = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(order_col).alias("i"), payload.alias("p"))
+        )
+    )
+    g = df.groupBy(conv_col).agg(
+        F.md5(
+            F.array_join(F.transform(turns, lambda s: s["p"]), "\x1f")
+        ).alias("fingerprint"),
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+    )
+    reps = g.groupBy("fingerprint").agg(
+        F.min(conv_col).alias("__rep"),
+        F.count(F.lit(1)).cast("bigint").alias("group_n"),
+    )
+    return g.join(reps, "fingerprint").select(
+        conv_col,
+        "fingerprint",
+        "n_turns",
+        "group_n",
+        (F.col(conv_col) == F.col("__rep")).alias("kept"),
+    )

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import datagen
+from ..functions import dedupe as dedupe_fns
 from ..operators import dedup as dedup_ops
 from ..operators import filter as filter_ops
 from ..operators import metrics as metric_ops
@@ -366,6 +367,46 @@ GROUP BY 1, 2, 3, 4, 5, 6, 7
 # ---------------------------------------------------------------------------
 # probabilistic sampler
 # ---------------------------------------------------------------------------
+
+
+def q_conv_dedup(spark, sf_dir):
+    """Conversation-level exact dedup (functions/dedupe.py
+    conv_exact_dedup): planted full-conversation copies (every '-0'
+    bucket conv duplicated under a 'dup:' id) guarantee non-trivial
+    duplicate groups; originals win the min-id keep rule."""
+    t = datagen.transcripts(spark, sf_dir)
+    planted = t.unionByName(
+        t.filter(F.col("conv_id").endswith("-0")).withColumn(
+            "conv_id", F.concat(F.lit("dup:"), F.col("conv_id"))
+        )
+    )
+    return dedupe_fns.conv_exact_dedup(planted)
+
+
+O_CONV_DEDUP = (
+    _PREFIX
+    + """
+, planted AS (
+  SELECT conv_id, turn_idx, role, text, tool FROM transcripts_cte
+  UNION ALL
+  SELECT 'dup:' || conv_id, turn_idx, role, text, tool
+  FROM transcripts_cte WHERE conv_id LIKE '%-0'
+), g AS (
+  SELECT conv_id,
+         md5(string_agg(concat_ws(chr(30), role, text, tool),
+                        chr(31) ORDER BY turn_idx)) AS fingerprint,
+         CAST(count(*) AS BIGINT) AS n_turns
+  FROM planted GROUP BY conv_id
+), reps AS (
+  SELECT fingerprint, min(conv_id) AS rep,
+         CAST(count(*) AS BIGINT) AS group_n
+  FROM g GROUP BY fingerprint
+)
+SELECT g.conv_id, g.fingerprint, g.n_turns, r.group_n,
+       g.conv_id = r.rep AS kept
+FROM g JOIN reps r USING (fingerprint)
+"""
+)
 
 
 def q_sample_lcg_events(spark, sf_dir):
@@ -1074,6 +1115,7 @@ CATALOG_QUERIES = {
     "conv_integrity": q_conv_integrity,
     "conv_sessions": q_conv_sessions,
     "expo_cumulative": q_expo_cumulative,
+    "conv_dedup": q_conv_dedup,
     "sample_lcg_events": q_sample_lcg_events,
     "sample_hash_transcripts": q_sample_hash_transcripts,
     "delta_to_cumulative": q_delta_to_cumulative,
@@ -1105,6 +1147,7 @@ CATALOG_ORACLES = {
     "conv_integrity": O_CONV_INTEGRITY,
     "conv_sessions": O_CONV_SESSIONS,
     "expo_cumulative": O_EXPO_CUMULATIVE,
+    "conv_dedup": O_CONV_DEDUP,
     "sample_lcg_events": O_SAMPLE_LCG,
     "sample_hash_transcripts": O_SAMPLE_HASH,
     "delta_to_cumulative": O_D2C,
