@@ -103,3 +103,62 @@ def re_escape(s: str) -> str:
     import re
 
     return re.escape(s)
+
+
+def read_logs_with_header(
+    spark: SparkSession,
+    path: str,
+    header_line_pattern: str,
+    header_attr_regex: str = r"^#\s*([A-Za-z0-9_.-]+)\s*[:=]\s*(.*)$",
+) -> DataFrame:
+    """fileconsumer header parsing (`pkg/stanza/fileconsumer/config.go`
+    header config + `internal/header/reader.go`): the leading run of lines
+    matching ``header_line_pattern`` is consumed as file metadata — parsed
+    into attributes attached to EVERY subsequent entry of that file — and
+    header lines never emit as log records. ``header_attr_regex`` plays the
+    role of the header's metadata_operators regex parser: group 1 = key,
+    group 2 = value; later header lines overwrite earlier keys (stanza
+    parser overwrite semantics).
+
+    Output: (file, line_no, line, attributes map) with body lines
+    renumbered from 1. The per-file attribute side is one row per file —
+    broadcast joined, so the body never shuffles.
+    """
+    lines = read_text_logs(spark, path)
+    w = Window.partitionBy("file")
+    marked = lines.withColumn(
+        "__is_h", F.col("line").rlike(header_line_pattern)
+    ).withColumn(
+        "__first_body",
+        F.min(F.when(~F.col("__is_h"), F.col("line_no"))).over(w),
+    )
+    is_header = F.col("line_no") < F.coalesce(
+        F.col("__first_body"), F.lit(1 << 62)
+    )
+    attrs = (
+        marked.filter(is_header)
+        .select(
+            "file",
+            "line_no",
+            F.regexp_extract("line", header_attr_regex, 1).alias("k"),
+            F.regexp_extract("line", header_attr_regex, 2).alias("v"),
+        )
+        .filter(F.col("k") != "")
+        .groupBy("file", "k")
+        .agg(F.max_by("v", "line_no").alias("v"))  # last header line wins
+        .groupBy("file")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("k", "v")))
+            ).alias("attributes")
+        )
+    )
+    body = marked.filter(~is_header).select("file", "line_no", "line")
+    return (
+        body.join(F.broadcast(attrs), "file", "left")
+        .withColumn(
+            "line_no",
+            F.row_number().over(Window.partitionBy("file").orderBy("line_no")),
+        )
+        .select("file", "line_no", "line", "attributes")
+    )

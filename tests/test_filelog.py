@@ -71,3 +71,34 @@ def test_encoded_filelog_latin1_and_utf16(spark, tmp_path):
     p2.write_bytes("alpha\nbeta".encode("utf-16"))
     out2 = read_text_logs_encoded(spark, str(p2), "UTF-16")
     assert [r.line for r in sorted(out2.collect(), key=lambda r: r.line_no)] == ["alpha", "beta"]
+
+
+LOG_H = """# host = web-1
+# region: eu-west
+2024-01-01T00:00:01Z INFO first
+2024-01-01T00:00:02Z ERROR second
+# host = not-a-header-anymore
+"""
+
+
+def test_header_parsing_attaches_file_attributes(spark, tmp_path):
+    """fileconsumer header config: leading header lines parse into
+    attributes on every body entry and never emit as records; a
+    header-looking line AFTER the body starts is a plain record."""
+    import os as _os
+
+    d = tmp_path / "hlogs"
+    _os.makedirs(d)
+    (d / "h.log").write_text(LOG_H)
+    (d / "plain.log").write_text("2024-01-01T09:00:00Z INFO no header\n")
+    rows = filelog.read_logs_with_header(spark, str(d), r"^#").collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(_os.path.basename(r.file), []).append(r)
+    h = sorted(by_file["h.log"], key=lambda r: r.line_no)
+    assert [r.line_no for r in h] == [1, 2, 3]
+    assert h[0].line.endswith("INFO first")
+    assert h[2].line == "# host = not-a-header-anymore"  # body, not header
+    assert h[0].attributes == {"host": "web-1", "region": "eu-west"}
+    p = by_file["plain.log"]
+    assert len(p) == 1 and p[0].attributes is None
