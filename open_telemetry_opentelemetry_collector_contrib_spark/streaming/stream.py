@@ -211,3 +211,59 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def span_metrics_stream(
+    spans: DataFrame,
+    dims: list[str],
+    duration_col: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    buckets: list[float] | None = None,
+) -> DataFrame:
+    """spanmetrics under streaming: the RED-metrics aggregate (calls,
+    duration sum/min/max, explicit-bucket histogram) as a watermarked
+    tumbling-window aggregation — the continuous form of
+    operators/metrics.py span_metrics, with the same scalar-bucket-index +
+    conditional-sum formulation so the histogram partials fold map-side
+    inside the streaming state store. The reference connector
+    (`connector/spanmetricsconnector/connector.go:170-220`) flushes on a
+    wall-clock ticker; here window close is event-time (watermark), the
+    same trade documented for windowed_sink_counts. Output matches the
+    batch twin row-for-row on a drained stream (parity-pinned)."""
+    from ..operators.metrics import DEFAULT_BUCKETS_MS, explicit_bucket_index
+
+    bounds = buckets or DEFAULT_BUCKETS_MS
+    n = len(bounds) + 1
+    idx = explicit_bucket_index(F.col(duration_col).cast("double"), bounds)
+    return (
+        spans.withWatermark(ts_col, watermark)
+        .withColumn("__bucket_idx", idx)
+        .groupBy(F.window(ts_col, window).alias("w"), *dims)
+        .agg(
+            F.count(F.lit(1)).alias("calls"),
+            F.sum(F.col(duration_col).cast("double")).alias("duration_sum"),
+            F.min(F.col(duration_col).cast("double")).alias("duration_min"),
+            F.max(F.col(duration_col).cast("double")).alias("duration_max"),
+            F.array(
+                *[
+                    F.sum(
+                        F.when(F.col("__bucket_idx") == i, F.lit(1)).otherwise(
+                            F.lit(0)
+                        )
+                    ).alias(f"b{i}")
+                    for i in range(n)
+                ]
+            ).alias("bucket_counts"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            *dims,
+            "calls",
+            "duration_sum",
+            "duration_min",
+            "duration_max",
+            "bucket_counts",
+        )
+    )

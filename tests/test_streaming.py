@@ -388,3 +388,57 @@ def test_streaming_logdedup_matches_batch(spark, transcripts_dir):
     exp = keyset(exp_df.collect())
     assert len(got) == len(exp) > 0
     assert got == exp
+
+
+def test_streaming_span_metrics_matches_batch(spark, transcripts_dir):
+    """spanmetrics drained through the watermarked streaming window must
+    equal the batch operators/metrics.py span_metrics aggregate."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators import (
+        metrics as metric_ops,
+    )
+
+    routed = st.transform_stream(spark, st.stream_source(spark, transcripts_dir))
+    spans = routed.filter(F.col("latency_ms").isNotNull()).select(
+        "route", "role", "latency_ms", "ts"
+    )
+    out = st.span_metrics_stream(
+        spans, dims=["route", "role"], duration_col="latency_ms",
+        window="1 day", watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("span_metrics_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def keyset(rows):
+        return {
+            (r.window_start_s, r.route, r.role): (
+                r.calls, r.duration_sum, r.duration_min, r.duration_max,
+                tuple(r.bucket_counts),
+            )
+            for r in rows
+        }
+
+    got = keyset(spark.sql("select * from span_metrics_stream").collect())
+    batch_routed = __import__(
+        "open_telemetry_opentelemetry_collector_contrib_spark.plans.pipeline",
+        fromlist=["routed"],
+    ).routed(spark, SF_UNIT)
+    exp_rows = metric_ops.span_metrics(
+        batch_routed.filter(F.col("latency_ms").isNotNull()),
+        dims=["route", "role"],
+        duration_col="latency_ms",
+        window_s=86400,
+    ).collect()
+    exp = {
+        (r.window_id * 86400, r.route, r.role): (
+            r.calls, r.duration_sum, r.duration_min, r.duration_max,
+            tuple(r.bucket_counts),
+        )
+        for r in exp_rows
+    }
+    assert got == exp and len(got) > 0
