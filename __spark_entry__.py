@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans",
         "aggregate_on_attrs_stmt",
         "conv_dedup",
+        "fixed_stratum_sample",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

@@ -206,3 +206,37 @@ def stratified_sample(
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == k, F.lit(int(v * 1_000_000))).otherwise(rate)
     return df.filter(bucket < rate)
+
+
+def sample_fixed_per_stratum(
+    df: DataFrame,
+    k: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "fix13",
+) -> DataFrame:
+    """Deterministic exactly-K-per-stratum sampling ("give me 10k eval
+    docs from every source"): rank rows within each stratum by the
+    engine-portable hash md5_48(seed || id) (ties broken by id) and keep
+    the K smallest — a reservoir-sample analog that is a pure function of
+    the ids, so it is resume/rerun/repartition stable and different seeds
+    give independent draws.
+
+    Scale: the rank<=K filter over the window compiles to Spark's
+    WindowGroupLimit pushdown — every map task keeps at most K rows per
+    stratum BEFORE the exchange (verified in the plan), so the shuffle
+    carries O(tasks * strata * K) rows, not the corpus, and the
+    low-cardinality stratum sort never sees full partitions."""
+    from pyspark.sql import Window
+
+    from .dedupe import md5_48
+
+    h = md5_48(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

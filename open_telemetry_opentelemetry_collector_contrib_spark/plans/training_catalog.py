@@ -1257,6 +1257,32 @@ WHERE ({hx}) % 1000000 < (CASE {whens} ELSE {int(_MIX_DEFAULT * 1_000_000)} END)
 """
 
 
+_FIXK = 100
+
+
+def q_fixed_stratum_sample(spark, sf_dir):
+    """Exactly-K-per-source deterministic sampling (functions/packing.py
+    sample_fixed_per_stratum): portable-hash ranking with WindowGroupLimit
+    pushdown — map tasks keep at most K rows per stratum before the
+    exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.sample_fixed_per_stratum(docs, _FIXK).select(
+        "doc_id", "source"
+    )
+
+
+def _fixed_stratum_oracle() -> str:
+    hx = _HX.format(s="'fix13' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {hx}, doc_id) AS rk
+  FROM documents
+) WHERE rk <= {_FIXK}
+"""
+
+
 _SPAN_N = 5
 
 
@@ -1376,6 +1402,7 @@ TRAINING_QUERIES = {
     "mix_sample_docs": q_mix_sample_docs,
     "semdedup": q_semdedup,
     "repeated_spans": q_repeated_spans,
+    "fixed_stratum_sample": q_fixed_stratum_sample,
     "mix_temperature_docs": q_mix_temperature_docs,
     "dataset_split": q_dataset_split,
     "exact_dedup": q_exact_dedup,
@@ -1412,6 +1439,7 @@ TRAINING_ORACLES = {
     "mix_sample_docs": _mix_sample_oracle(),
     "semdedup": _semdedup_oracle(),
     "repeated_spans": _repeated_spans_oracle(),
+    "fixed_stratum_sample": _fixed_stratum_oracle(),
     "mix_temperature_docs": O_MIX_TEMPERATURE,
     "dataset_split": _dataset_split_oracle(),
     "exact_dedup": O_EXACT_DEDUP,
