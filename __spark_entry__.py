@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_on_attrs_stmt",
         "conv_dedup",
         "fixed_stratum_sample",
+        "span_rename",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

@@ -913,7 +913,77 @@ FROM spans WHERE status = 'err'
 )
 
 
+def q_span_rename(spark, sf_dir):
+    """spanprocessor pipeline (operators/span.py; `processor/spanprocessor/
+    span.go:96-241`): from_attributes rebuilds the name 'op:tool' only
+    when BOTH attributes exist; the to_attributes rule then extracts
+    payload_id from names the first step left alone, rewriting the
+    matched group to a {payload_id} placeholder; set_status(error) stamps
+    err turns. from_attributes/set_status are pure projections; the rule
+    rewrite is the Arrow-batched faithful port."""
+    from ..operators import span as span_ops
+
+    df = pipeline.parsed(spark, sf_dir)
+    # empty tool = no tool attribute (1/7 of turns), so the
+    # to_attributes branch fires on a real subset
+    entries = [
+        F.when(
+            F.col(k).isNotNull() & (F.col(k) != ""),
+            F.struct(F.lit(a).alias("key"), F.col(k).alias("value")),
+        )
+        for a, k in (("op", "action"), ("tool", "tool"))
+    ]
+    spans = df.select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce(F.col("msg"), F.lit("")).alias("span_name"),
+        F.map_from_entries(
+            F.filter(F.array(*entries), lambda x: x.isNotNull())
+        ).alias("attributes"),
+        "status",
+    )
+    out = span_ops.rename_from_attributes(
+        spans, ["op", "tool"], separator=":"
+    )
+    out = span_ops.rename_to_attributes(
+        out, [r"payload (?<payload_id>[0-9]+)"]
+    )
+    out = span_ops.set_status(
+        out, "error", "downstream failure", where=F.col("status") == "err"
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "span_name",
+        F.element_at("attributes", "payload_id").alias("payload_id"),
+        F.col("status_code").cast("bigint").alias("status_code"),
+        "status_message",
+    )
+
+
+O_SPAN_RENAME = (
+    _PREFIX
+    + _PARSED_CTE
+    + """
+SELECT conv_id, turn_idx,
+       CASE WHEN action IS NOT NULL AND tool <> ''
+            THEN action || ':' || tool
+            ELSE regexp_replace(coalesce(msg, ''),
+                                'payload ([0-9]+)', 'payload {payload_id}')
+       END AS span_name,
+       CASE WHEN action IS NOT NULL AND tool <> '' THEN NULL
+            WHEN regexp_matches(coalesce(msg, ''), 'payload ([0-9]+)')
+            THEN regexp_extract(coalesce(msg, ''), 'payload ([0-9]+)', 1)
+       END AS payload_id,
+       CAST(CASE WHEN status = 'err' THEN 2 ELSE 0 END AS BIGINT) AS status_code,
+       CASE WHEN status = 'err' THEN 'downstream failure' ELSE '' END AS status_message
+FROM parsed
+"""
+)
+
+
 CATALOG2_QUERIES = {
+    "span_rename": q_span_rename,
     "span_context_transform": q_span_context_transform,
     "metric_context_transform": q_metric_context_transform,
     "spanevent_context_transform": q_spanevent_context_transform,
@@ -942,6 +1012,7 @@ CATALOG2_QUERIES = {
 }
 
 CATALOG2_ORACLES = {
+    "span_rename": O_SPAN_RENAME,
     "span_context_transform": O_SPAN_CONTEXT_TRANSFORM,
     "metric_context_transform": O_METRIC_CONTEXT_TRANSFORM,
     "spanevent_context_transform": O_SPANEVENT_CONTEXT,

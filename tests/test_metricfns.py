@@ -292,3 +292,45 @@ def test_copy_and_scale_metric(spark):
     assert scaled["h"].explicit_bounds == [2.5, 5.0]
     assert scaled["h"].cnt == 4                   # counts never scaled
     assert all(r.unit == "ks" for r in scaled.values())
+
+
+def test_span_rename_pipeline(spark):
+    """spanprocessor semantics pinned against hand-computed expectations
+    (span.go:96-241): all-or-nothing from_attributes, sequential
+    to_attributes rules with {group} placeholder rewrite and
+    break_after_match, error status stamping."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.operators import (
+        span as span_ops,
+    )
+
+    rows = [
+        (1, "get /api/v1/doc/12345/update", {"op": "get", "tool": "http"}, "ok"),
+        (2, "get /api/v1/doc/777/update", {"op": "get"}, "err"),
+        (3, "", {"op": "x", "tool": "y"}, "ok"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "sid long, span_name string, attributes map<string,string>, status string",
+    )
+    out = span_ops.rename_from_attributes(df, ["op", "tool"], separator=":")
+    got = {r.sid: r.span_name for r in out.collect()}
+    assert got[1] == "get:http"        # both present -> renamed
+    assert got[2] == "get /api/v1/doc/777/update"  # missing tool -> untouched
+    assert got[3] == "x:y"             # empty original name still renamed
+
+    out2 = span_ops.rename_to_attributes(
+        df, [r"/doc/(?<doc_id>\d+)/", r"(?<verb>^get) "],
+        break_after_match=True,
+    )
+    by = {r.sid: r for r in out2.collect()}
+    assert by[1].span_name == "get /api/v1/doc/{doc_id}/update"
+    assert by[1].attributes["doc_id"] == "12345"
+    # break_after_match: second rule must NOT run on a row rule 1 matched
+    assert "verb" not in by[1].attributes
+    assert by[3].span_name == ""       # empty name: rules skipped
+
+    out3 = span_ops.set_status(
+        df, "error", "boom", where=F.col("status") == "err"
+    )
+    st = {r.sid: (r.status_code, r.status_message) for r in out3.collect()}
+    assert st[2] == (2, "boom") and st[1] == (0, "")
