@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dedup",
         "fixed_stratum_sample",
         "span_rename",
+        "logs_transform",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

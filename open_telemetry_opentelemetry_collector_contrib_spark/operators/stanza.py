@@ -51,9 +51,10 @@ def retain(df: DataFrame, fields: list[str]) -> DataFrame:
 
 
 def assign_keys(df: DataFrame, array_col: str, keys: list[str]) -> DataFrame:
-    """array column -> named columns (jsonarray/csv headerless output)."""
+    """array column -> named columns (jsonarray/csv headerless output).
+    Short rows yield NULL for the missing tail fields (on_error=send)."""
     for i, k in enumerate(keys):
-        df = df.withColumn(k, F.element_at(F.col(array_col), i + 1))
+        df = df.withColumn(k, F.try_element_at(F.col(array_col), F.lit(i + 1)))
     return df
 
 

@@ -982,7 +982,79 @@ FROM parsed
 )
 
 
+def q_logs_transform(spark, sf_dir):
+    """logstransformprocessor (`processor/logstransformprocessor/
+    processor.go` + config.go): an ordered stanza-operator chain run as a
+    mid-pipeline processor — named-group regex parse with an embedded
+    severity block, then move/add/remove field transformers. The whole
+    operator list folds into one Catalyst projection over the scan; the
+    reference's receiver->processor channel hop has no analog."""
+    from .. import datagen
+    from . import config as config_mod
+
+    spec = {
+        "processors": [
+            {
+                "type": "logstransform",
+                "operators": [
+                    {
+                        "type": "regex_parser",
+                        "regex": (
+                            r"^(?P<level>INFO|ERROR|WARN|DEBUG)"
+                            r" action=(?P<action>[a-z_]+)"
+                            r" latency_ms=(?P<latency_ms>[0-9]+)"
+                            r" status=(?P<status>[a-z]+)"
+                            r' msg="(?P<message>[^"]*)"'
+                        ),
+                        "severity": {"parse_from": "level"},
+                    },
+                    {"type": "move", "from": "message", "to": "msg_text"},
+                    {"type": "add", "field": "transform_tag",
+                     "value": "logstransform"},
+                    {"type": "remove", "fields": ["text", "tool"]},
+                ],
+            },
+        ],
+    }
+    out = config_mod.build(spark, spec, datagen.transcripts(spark, sf_dir))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "level",
+        "action",
+        F.col("latency_ms").cast("bigint").alias("latency_ms"),
+        "status",
+        "msg_text",
+        "severity_number",
+        "transform_tag",
+    )
+
+
+_LT_RE = (
+    '^(INFO|ERROR|WARN|DEBUG) action=([a-z_]+) latency_ms=([0-9]+)'
+    ' status=([a-z]+) msg="([^"]*)"'
+)
+
+O_LOGS_TRANSFORM = (
+    _PREFIX
+    + f"""
+SELECT conv_id, turn_idx,
+       nullif(regexp_extract(text, '{_LT_RE}', 1), '') AS level,
+       nullif(regexp_extract(text, '{_LT_RE}', 2), '') AS action,
+       CAST(nullif(regexp_extract(text, '{_LT_RE}', 3), '') AS BIGINT) AS latency_ms,
+       nullif(regexp_extract(text, '{_LT_RE}', 4), '') AS status,
+       nullif(regexp_extract(text, '{_LT_RE}', 5), '') AS msg_text,
+       CASE lower(nullif(regexp_extract(text, '{_LT_RE}', 1), ''))
+            WHEN 'info' THEN 9 WHEN 'error' THEN 17
+            WHEN 'warn' THEN 13 WHEN 'debug' THEN 5 ELSE 0 END AS severity_number,
+       'logstransform' AS transform_tag
+FROM transcripts_cte
+"""
+)
+
+
 CATALOG2_QUERIES = {
+    "logs_transform": q_logs_transform,
     "span_rename": q_span_rename,
     "span_context_transform": q_span_context_transform,
     "metric_context_transform": q_metric_context_transform,
@@ -1012,6 +1084,7 @@ CATALOG2_QUERIES = {
 }
 
 CATALOG2_ORACLES = {
+    "logs_transform": O_LOGS_TRANSFORM,
     "span_rename": O_SPAN_RENAME,
     "span_context_transform": O_SPAN_CONTEXT_TRANSFORM,
     "metric_context_transform": O_METRIC_CONTEXT_TRANSFORM,

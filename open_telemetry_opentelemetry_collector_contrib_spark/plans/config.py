@@ -181,6 +181,208 @@ def _trace_parser(spark, df, cfg):
 
 
 # ---------------------------------------------------------------------------
+# logstransformprocessor: an ordered stanza-operator chain run mid-pipeline
+# (`processor/logstransformprocessor/processor.go` wraps a
+# pkg/stanza pipeline built from the `operators:` config list). Each
+# operator folds into the same single Catalyst plan as the surrounding
+# stages — the sub-pipeline is plain column-program composition, so there
+# is no materialization boundary between "receiver parsing" and
+# "processor parsing" here, unlike the reference's channel hop.
+# ---------------------------------------------------------------------------
+
+_STANZA_OPS: dict[str, Callable] = {}
+
+
+def _stanza_op(name: str):
+    def reg(fn):
+        _STANZA_OPS[name] = fn
+        return fn
+
+    return reg
+
+
+def _field(name: str) -> str:
+    """stanza field syntax 'body.x' / 'attributes.x' -> relational column."""
+    for prefix in ("body.", "attributes.", "resource."):
+        if name.startswith(prefix):
+            return name[len(prefix):]
+    return name
+
+
+def _embedded_parsers(df, op):
+    """The optional `timestamp:` / `severity:` blocks every stanza parser
+    config embeds (`pkg/stanza/operator/helper/parser.go` ParserConfig)."""
+    from ..operators import parse as parse_ops
+    from pyspark.sql import functions as F
+
+    t = op.get("timestamp")
+    if t:
+        df = parse_ops.parse_time(
+            df,
+            _field(t["parse_from"]),
+            t.get("layout_type", "strptime"),
+            t.get("layout", "%Y-%m-%d %H:%M:%S"),
+            out_col=t.get("out_col", "timestamp"),
+        )
+    s = op.get("severity")
+    if s:
+        mapping = parse_ops.severity_mapping(
+            s.get("preset", "default"), s.get("mapping")
+        )
+        df = df.withColumn(
+            s.get("out_col", "severity_number"),
+            parse_ops.severity_number(F.col(_field(s["parse_from"])), mapping),
+        )
+    return df
+
+
+@_stanza_op("regex_parser")
+def _st_regex(spark, df, op):
+    """Named-capture regex parse: each Go `(?P<name>…)` group becomes a
+    column (`pkg/stanza/operator/parser/regex/parser.go:46-63`); rows the
+    pattern misses get NULL fields (on_error=send)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    pattern = op["regex"]
+    rx = re.compile(pattern)
+    # extraction is by group index, so strip the Go/Python group names for
+    # the JVM (Java group names also reject '_', which stanza names use)
+    java_pattern = re.sub(r"\(\?P<[^>]+>", "(", pattern)
+    src = F.col(_field(op.get("parse_from", "text")))
+    for gname, gidx in sorted(rx.groupindex.items(), key=lambda kv: kv[1]):
+        df = df.withColumn(
+            gname,
+            F.nullif(F.regexp_extract(src, java_pattern, gidx), F.lit("")),
+        )
+    return _embedded_parsers(df, op)
+
+
+@_stanza_op("json_parser")
+def _st_json(spark, df, op):
+    """JSON body -> attributes map (`parser/json/parser.go`)."""
+    from pyspark.sql import functions as F
+
+    src = F.col(_field(op.get("parse_from", "text")))
+    df = df.withColumn(
+        op.get("parse_to", "attributes"),
+        F.from_json(src, "map<string,string>"),
+    )
+    return _embedded_parsers(df, op)
+
+
+@_stanza_op("csv_parser")
+def _st_csv(spark, df, op):
+    """Positional CSV fields by configured header (`parser/csv`)."""
+    from ..operators import stanza as stanza_ops
+    from pyspark.sql import functions as F
+
+    src = _field(op.get("parse_from", "text"))
+    delim = op.get("delimiter", ",")
+    df = df.withColumn("__csv", F.split(F.col(src), re_escape(delim)))
+    df = stanza_ops.assign_keys(df, "__csv", op["header"])
+    return _embedded_parsers(df.drop("__csv"), op)
+
+
+@_stanza_op("key_value_parser")
+def _st_kv(spark, df, op):
+    """k=v pairs -> map (`parser/keyvalue`)."""
+    from pyspark.sql import functions as F
+
+    src = F.col(_field(op.get("parse_from", "text")))
+    df = df.withColumn(
+        op.get("parse_to", "attributes"),
+        F.str_to_map(
+            src,
+            F.lit(re_escape(op.get("pair_delimiter", " "))),
+            F.lit(re_escape(op.get("delimiter", "="))),
+        ),
+    )
+    return _embedded_parsers(df, op)
+
+
+@_stanza_op("severity_parser")
+def _st_severity(spark, df, op):
+    return _embedded_parsers(df, {"severity": op})
+
+
+@_stanza_op("time_parser")
+def _st_time(spark, df, op):
+    return _embedded_parsers(df, {"timestamp": op})
+
+
+@_stanza_op("uri_parser")
+def _st_uri(spark, df, op):
+    from ..operators import parse as parse_ops
+
+    return parse_ops.parse_uri(
+        df, _field(op["parse_from"]), prefix=op.get("prefix", "uri_")
+    )
+
+
+@_stanza_op("syslog_parser")
+def _st_syslog(spark, df, op):
+    from ..operators import parse as parse_ops
+
+    src = _field(op.get("parse_from", "text"))
+    if op.get("protocol", "rfc3164") == "rfc5424":
+        return parse_ops.parse_syslog_rfc5424(df, src)
+    return parse_ops.parse_syslog_rfc3164(df, src)
+
+
+@_stanza_op("add")
+def _st_add(spark, df, op):
+    from ..operators import stanza as stanza_ops
+
+    return stanza_ops.add(df, _field(op["field"]), op["value"])
+
+
+@_stanza_op("copy")
+def _st_copy(spark, df, op):
+    from ..operators import stanza as stanza_ops
+
+    return stanza_ops.copy_field(df, _field(op["from"]), _field(op["to"]))
+
+
+@_stanza_op("move")
+def _st_move(spark, df, op):
+    from ..operators import stanza as stanza_ops
+
+    return stanza_ops.move(df, _field(op["from"]), _field(op["to"]))
+
+
+@_stanza_op("remove")
+def _st_remove(spark, df, op):
+    from ..operators import stanza as stanza_ops
+
+    fields = op.get("fields") or [op["field"]]
+    return stanza_ops.remove(df, [_field(f) for f in fields])
+
+
+@_stanza_op("retain")
+def _st_retain(spark, df, op):
+    from ..operators import stanza as stanza_ops
+
+    return stanza_ops.retain(df, [_field(f) for f in op["fields"]])
+
+
+def re_escape(s: str) -> str:
+    import re
+
+    return re.escape(s)
+
+
+@stage("logstransform")
+def _logstransform(spark, df, cfg):
+    for op in cfg.get("operators", []):
+        if op["type"] not in _STANZA_OPS:
+            raise ConfigError(f"unknown stanza operator {op['type']!r}")
+        df = _STANZA_OPS[op["type"]](spark, df, op)
+    return df
+
+
+# ---------------------------------------------------------------------------
 # validate + build
 # ---------------------------------------------------------------------------
 
@@ -197,6 +399,25 @@ def validate(spec: dict) -> None:
                 parse_condition(c)
             for s in p.get("statements", []):
                 parse_statement(s)
+            if p["type"] == "logstransform":
+                import re as _re
+
+                for op in p.get("operators", []):
+                    if op.get("type") not in _STANZA_OPS:
+                        raise ConfigError(
+                            f"unknown stanza operator {op.get('type')!r}"
+                        )
+                    if "regex" in op:
+                        _re.compile(op["regex"])
+                    sev = op.get("severity") or (
+                        op if op["type"] == "severity_parser" else None
+                    )
+                    if sev is not None and sev.get("preset") not in (
+                        None, "default", "otel", "aliases", "none",
+                    ):
+                        raise ConfigError(
+                            f"unknown severity preset {sev.get('preset')!r}"
+                        )
         route = spec.get("route")
         if route:
             from ..operators.route import parse_request_condition

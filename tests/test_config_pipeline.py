@@ -164,3 +164,62 @@ def test_config_new_stage_types(spark):
     cfg.validate(spec2)
     out2 = cfg.build(spark, spec2, spans)
     assert {r.trace_id for r in out2.collect()} == {t1, t2}
+
+
+def test_logstransform_stanza_chain(spark):
+    """logstransformprocessor analog: ordered stanza operators as one
+    config stage — regex_parser named groups + embedded severity, csv and
+    key_value parsers, field transformers; validation fails fast on bad
+    operator configs."""
+    src = spark.createDataFrame(
+        [
+            (1, 'ERROR action=click latency_ms=42 status=ok msg="hi"',
+             "a,b,c", "k1=v1 k2=v2"),
+            (2, "MALFORMED junk", "x,y", "solo"),
+        ],
+        "id long, text string, csv string, kv string",
+    )
+    spec = {
+        "processors": [
+            {
+                "type": "logstransform",
+                "operators": [
+                    {
+                        "type": "regex_parser",
+                        "regex": r"^(?P<level>INFO|ERROR)"
+                                 r" action=(?P<action>[a-z_]+)"
+                                 r" latency_ms=(?P<latency_ms>[0-9]+)",
+                        "severity": {"parse_from": "level"},
+                    },
+                    {"type": "csv_parser", "parse_from": "csv",
+                     "header": ["f1", "f2", "f3"]},
+                    {"type": "key_value_parser", "parse_from": "kv",
+                     "parse_to": "kvmap"},
+                    {"type": "copy", "from": "action", "to": "action2"},
+                    {"type": "move", "from": "latency_ms", "to": "lat"},
+                    {"type": "add", "field": "tag", "value": "t1"},
+                    {"type": "remove", "fields": ["csv"]},
+                ],
+            }
+        ]
+    }
+    out = cfg.build(spark, spec, src)
+    rows = {r.id: r for r in out.collect()}
+    r1, r2 = rows[1], rows[2]
+    assert (r1.level, r1.action, r1.lat) == ("ERROR", "click", "42")
+    assert r1.severity_number == 17
+    # row the pattern misses: null fields, severity 0 (on_error=send)
+    assert r2.level is None and r2.severity_number == 0
+    assert (r1.f1, r1.f2, r1.f3) == ("a", "b", "c")
+    assert (r2.f1, r2.f2, r2.f3) == ("x", "y", None)
+    assert r1.kvmap == {"k1": "v1", "k2": "v2"}
+    assert r1.action2 == "click" and r1.tag == "t1"
+    assert "csv" not in out.columns and "latency_ms" not in out.columns
+
+    with pytest.raises(cfg.ConfigError):
+        cfg.validate({"processors": [{"type": "logstransform",
+                                      "operators": [{"type": "nope"}]}]})
+    with pytest.raises(Exception):
+        cfg.validate({"processors": [{"type": "logstransform",
+                                      "operators": [{"type": "regex_parser",
+                                                     "regex": "(?P<bad"}]}]})
