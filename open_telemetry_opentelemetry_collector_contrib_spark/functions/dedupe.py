@@ -663,17 +663,29 @@ def repeated_ngram_spans(
     million-squared join; no frequency cap is needed. Two shuffles on the
     same gram key (count + join back, AQE-reusable) plus the per-doc
     window — doc_id is the high-cardinality key the corpus is already
-    organized by."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    organized by. The shuffled key is xxhash64 of the gram, not the
+    ~n-word string itself (~5x fewer shuffle bytes; a 64-bit collision
+    falsely marks one position with probability ~G^2/2^65 for G distinct
+    grams — negligible below ~10^8 grams and merely over-marks one span
+    if it ever fires)."""
+    # Materialize the token array as a projection BEFORE the gram transform:
+    # referencing split() directly inside the HOF lambda re-inlines the
+    # split subtree into the generate (measured 3x slower). Per-word
+    # element_at hashing (no joined string) is worse still (3.5x) for the
+    # same reason.
+    pre = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
+    )
+    words = F.col("__w")
     k = F.size(words) - (n - 1)
     grams = F.when(
         k >= 1,
         F.transform(
             F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
+            lambda i: F.xxhash64(F.array_join(F.slice(words, i, n), " ")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    pos_df = df.select(
+    ).otherwise(F.array().cast("array<bigint>"))
+    pos_df = pre.select(
         F.col(id_col), F.posexplode(grams).alias("__p0", "__gram")
     ).select(id_col, (F.col("__p0") + 1).alias("pos"), "__gram")
 
