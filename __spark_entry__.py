@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_stratum_sample",
         "span_rename",
         "logs_transform",
+        "lm_score_docs",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

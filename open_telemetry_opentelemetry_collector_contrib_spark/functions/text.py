@@ -592,3 +592,121 @@ def chunk_documents(
             F.size(F.split("chunk_text", r"\s+"))
         ).cast("long"),
     )
+
+
+def lm_score_docs(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    train_lang: str = "en",
+    keep_thr_ppb: int = 34_000_000,
+) -> DataFrame:
+    """CCNet-style in-distribution scoring: train an add-1-smoothed bigram
+    LM on the ``train_lang`` slice of the corpus, score EVERY document
+    under it, and flag the ones that read like the reference distribution
+    (CCNet, arXiv:1911.00359, scores Common Crawl under a Wikipedia-trained
+    KenLM and buckets by perplexity; the filter decision is what survives
+    the pipeline).
+
+    Per-bigram probability is the smoothed conditional
+    ``p(w2|w1) = (c12 + 1) / (c1 + V)`` with ``V`` = training vocabulary
+    size + 1 (one reserved OOV slot); unseen ``w1`` degrades to ``1/V``.
+    The doc score is the SUM of per-bigram probabilities in ppb (a mean-
+    token-probability surrogate, higher = more in-distribution) rather
+    than the sum of logs: ``ln()`` differs in the last ULP between libm
+    and the JVM and would break oracle hash parity (same repo-wide rule
+    as tfidf_top_terms' rational idf), while ``floor(1e9 * int/int)`` is
+    IEEE-identical in both engines. The keep decision compares the MEAN
+    against ``keep_thr_ppb`` by integer cross-multiplication
+    (``p_sum * 1e0 >= thr * n_bigrams``), so no float threshold is ever
+    crossed. Rank order differs from true perplexity (arith vs geo mean)
+    but both order by "mass under the reference LM"; a production
+    deployment free of the cross-engine-hash constraint would swap the
+    sum for ``F.sum(F.ln(p))`` in the same plan.
+
+    Scale design: the LM tables are vocabulary-sized — unigram and bigram
+    counts collapse map-side in their groupBys, and both join back onto
+    the exploded corpus as BROADCAST dims (no corpus shuffle to score).
+    The only corpus-scale exchange is the final per-doc sum keyed by
+    high-cardinality ``doc_id``. Docs with fewer than 2 tokens carry no
+    evidence and are dropped (keep = false, n_bigrams = 0), matching
+    CCNet's minimum-length prefilter.
+
+    Output: (doc_id, lang, n_bigrams, p_sum_ppb, oov_bigrams, keep).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    # materialize the token array BEFORE the gram transform (HOF lambdas
+    # referencing split() directly re-inline the split subtree per element)
+    base = df.select(F.col(doc_id_col), F.col(lang_col), toks.alias("__w"))
+    k = F.size("__w") - 1
+    bigrams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.struct(
+                F.element_at(F.col("__w"), i).alias("w1"),
+                F.element_at(F.col("__w"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = base.select(doc_id_col, lang_col, bigrams.alias("__bi"))
+
+    train_toks = base.filter(F.col(lang_col) == train_lang)
+    uni = (
+        train_toks.select(F.explode("__w").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    # V as a broadcast 1-row frame, not a driver-side action
+    vocab = uni.agg((F.count("*") + F.lit(1)).alias("v"))
+    bi = (
+        pairs.filter(F.col(lang_col) == train_lang)
+        .select(F.explode("__bi").alias("g"))
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+
+    exploded = pairs.select(
+        doc_id_col, F.explode("__bi").alias("g")
+    ).select(doc_id_col, "g.w1", "g.w2")
+    scored = (
+        exploded.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            doc_id_col,
+            F.floor(
+                F.lit(1_000_000_000.0)
+                * (
+                    (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+                )
+            ).alias("p_ppb"),
+            F.when(F.col("c12").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    sums = scored.groupBy(doc_id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("p_ppb").alias("p_sum_ppb"),
+        F.sum("oov").alias("oov_bigrams"),
+    )
+    return (
+        base.select(doc_id_col, lang_col)
+        .join(sums, doc_id_col, "left")
+        .select(
+            doc_id_col,
+            lang_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("p_sum_ppb", F.lit(0)).cast("bigint").alias("p_sum_ppb"),
+            F.coalesce("oov_bigrams", F.lit(0)).cast("bigint").alias("oov_bigrams"),
+            (
+                (F.coalesce("n_bigrams", F.lit(0)) > 0)
+                & (
+                    F.coalesce("p_sum_ppb", F.lit(0))
+                    >= F.lit(int(keep_thr_ppb)) * F.coalesce("n_bigrams", F.lit(0))
+                )
+            ).alias("keep"),
+        )
+    )

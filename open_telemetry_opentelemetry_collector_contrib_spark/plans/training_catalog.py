@@ -1397,7 +1397,62 @@ FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
 """
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style bigram-LM in-distribution scoring (functions/text.py
+    lm_score_docs): add-1 bigram LM trained on the lang='en' slice,
+    every doc scored under it in exact integer ppb, keep flag by integer
+    cross-multiplication against the mean-probability threshold. LM
+    tables are vocabulary-sized broadcast dims; the only corpus-scale
+    exchange is the per-doc sum on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_fns.lm_score_docs(docs)
+
+
+O_LM_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), bi AS (
+  SELECT doc_id, lang,
+         unnest([w[i] for i in range(1, len(w))]) AS w1,
+         unnest([w[i + 1] for i in range(1, len(w))]) AS w2
+  FROM toks WHERE len(w) >= 2
+), uni AS (
+  SELECT t AS w1u, count(*) AS c1
+  FROM (SELECT unnest(w) AS t FROM toks WHERE lang = 'en') GROUP BY t
+), vsz AS (
+  SELECT count(*) + 1 AS v FROM uni
+), tbi AS (
+  SELECT w1, w2, count(*) AS c12 FROM bi WHERE lang = 'en' GROUP BY w1, w2
+), scored AS (
+  SELECT b.doc_id,
+         CAST(floor(1000000000.0 *
+              (CAST(coalesce(t.c12, 0) + 1 AS DOUBLE)
+               / CAST(coalesce(u.c1, 0) + v.v AS DOUBLE))) AS BIGINT) AS p_ppb,
+         CASE WHEN t.c12 IS NULL THEN 1 ELSE 0 END AS oov
+  FROM bi b
+  LEFT JOIN tbi t USING (w1, w2)
+  LEFT JOIN uni u ON b.w1 = u.w1u
+  CROSS JOIN vsz v
+), sums AS (
+  SELECT doc_id, count(*) AS n_bigrams, sum(p_ppb) AS p_sum_ppb,
+         sum(oov) AS oov_bigrams
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+  CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(s.p_sum_ppb, 0) AS BIGINT) AS p_sum_ppb,
+  CAST(coalesce(s.oov_bigrams, 0) AS BIGINT) AS oov_bigrams,
+  (coalesce(s.n_bigrams, 0) > 0
+   AND coalesce(s.p_sum_ppb, 0) >= 34000000 * coalesce(s.n_bigrams, 0)) AS keep
+FROM documents d LEFT JOIN sums s USING (doc_id)
+"""
+
+
 TRAINING_QUERIES = {
+    "lm_score_docs": q_lm_score,
     "pack_sequences": q_pack_sequences,
     "mix_sample_docs": q_mix_sample_docs,
     "semdedup": q_semdedup,
@@ -1435,6 +1490,7 @@ TRAINING_QUERIES = {
 }
 
 TRAINING_ORACLES = {
+    "lm_score_docs": O_LM_SCORE,
     "pack_sequences": packing.pack_oracle_sql(_PACK_BUDGET, _PACK_SHARDS),
     "mix_sample_docs": _mix_sample_oracle(),
     "semdedup": _semdedup_oracle(),
