@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_rename",
         "logs_transform",
         "lm_score_docs",
+        "bm25_topk",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

@@ -1397,6 +1397,90 @@ FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
 """
 
 
+_BM25_QUERIES = [
+    (1, "hash join table"),
+    (2, "window agg stream"),
+    (3, "customer order query"),
+    (4, "vector scan slow fast"),
+    (5, "zz_unseen spark"),
+]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Quantized-impact BM25 retrieval (functions/retrieval.py bm25_topk):
+    top-10 docs per query over a literal 5-query set. Query vocabulary is
+    broadcast-semi-joined against the exploded token stream BEFORE any
+    aggregation (only scoring postings shuffle), corpus stats ride a
+    broadcast 1-row frame, and rank<=k compiles to partial+final
+    WindowGroupLimit. Integer ppm impacts keep the score engine-exact."""
+    from ..functions import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(
+        docs, retrieval.literal_queries(spark, _BM25_QUERIES), k=10
+    )
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    return f"""
+WITH q(query_id, query_text) AS (
+  VALUES {vals}
+), qterms AS (
+  SELECT DISTINCT query_id, t AS term FROM (
+    SELECT query_id,
+           unnest(list_filter(regexp_split_to_array(lower(query_text), '\\s+'),
+                              x -> x <> '')) AS t
+    FROM q)
+), base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(w)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM base
+), tokens AS (
+  SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM base
+), postings AS (
+  SELECT term, doc_id, count(*) AS tf, max(dl) AS dl
+  FROM tokens WHERE term IN (SELECT term FROM qterms)
+  GROUP BY term, doc_id
+), dfreq AS (
+  SELECT term, count(*) AS df_t FROM postings GROUP BY term
+), scored AS (
+  SELECT qt.query_id, p.doc_id,
+    least(CAST(floor(1000000.0 *
+      (((CAST(s.n_docs - d.df_t AS DOUBLE) + 0.5)
+        / (CAST(d.df_t AS DOUBLE) + 0.5)) + 1.0)) AS BIGINT),
+      4000000000000) AS idf_ppm,
+    CAST(floor(1000000.0 *
+      ((CAST(p.tf AS DOUBLE) * 2.25)
+       / (CAST(p.tf AS DOUBLE)
+          + 1.25 * (0.25 + 0.75 * (CAST(p.dl AS DOUBLE) / s.avgdl)))))
+      AS BIGINT) AS tfpart_ppm
+  FROM postings p
+  JOIN dfreq d USING (term)
+  JOIN qterms qt USING (term)
+  CROSS JOIN stats s
+), aggd AS (
+  SELECT query_id, doc_id, count(*) AS n_terms_matched,
+         sum(idf_ppm * tfpart_ppm) AS score
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rank AS INT) AS rank,
+       CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+       CAST(score AS BIGINT) AS score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rank
+  FROM aggd
+) WHERE rank <= 10
+"""
+
+
 def q_lm_score(spark, sf_dir):
     """CCNet-style bigram-LM in-distribution scoring (functions/text.py
     lm_score_docs): add-1 bigram LM trained on the lang='en' slice,
@@ -1453,6 +1537,7 @@ FROM documents d LEFT JOIN sums s USING (doc_id)
 
 TRAINING_QUERIES = {
     "lm_score_docs": q_lm_score,
+    "bm25_topk": q_bm25_topk,
     "pack_sequences": q_pack_sequences,
     "mix_sample_docs": q_mix_sample_docs,
     "semdedup": q_semdedup,
@@ -1491,6 +1576,7 @@ TRAINING_QUERIES = {
 
 TRAINING_ORACLES = {
     "lm_score_docs": O_LM_SCORE,
+    "bm25_topk": _bm25_oracle(),
     "pack_sequences": packing.pack_oracle_sql(_PACK_BUDGET, _PACK_SHARDS),
     "mix_sample_docs": _mix_sample_oracle(),
     "semdedup": _semdedup_oracle(),
