@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "expo_to_explicit_upper",
     "semdedup",
     "repeated_spans",
+    "lm_score_docs",
+    "bm25_topk",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

@@ -636,18 +636,19 @@ def lm_score_docs(
     Output: (doc_id, lang, n_bigrams, p_sum_ppb, oov_bigrams, keep).
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
-    # materialize the token array BEFORE the gram transform (HOF lambdas
-    # referencing split() directly re-inline the split subtree per element)
+    # materialize the token array BEFORE the gram construction (HOF lambdas
+    # referencing split() directly re-inline the split subtree per element).
+    # Adjacent pairs come from arrays_zip of two shifted slices, NOT a
+    # transform(sequence, element_at) loop: per-element element_at inside a
+    # lambda re-evaluates its surrounding branch and measured ~18x slower
+    # (15.5 s vs 0.85 s for 266k bigrams at sf0.1).
     base = df.select(F.col(doc_id_col), F.col(lang_col), toks.alias("__w"))
-    k = F.size("__w") - 1
+    n = F.size("__w")
     bigrams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.struct(
-                F.element_at(F.col("__w"), i).alias("w1"),
-                F.element_at(F.col("__w"), i + 1).alias("w2"),
-            ),
+        n >= 2,
+        F.arrays_zip(
+            F.slice(F.col("__w"), 1, n - 1).alias("w1"),
+            F.slice(F.col("__w"), 2, n - 1).alias("w2"),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     pairs = base.select(doc_id_col, lang_col, bigrams.alias("__bi"))
