@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logs_transform",
         "lm_score_docs",
         "bm25_topk",
+        "dsir_select",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

@@ -711,3 +711,118 @@ def lm_score_docs(
             ).alias("keep"),
         )
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "lang",
+    target_value: str = "en",
+    buckets: int = 4096,
+    keep_thr_ppm: int = 940_000,
+) -> DataFrame:
+    """DSIR-style data selection via hashed n-gram importance weights
+    (arXiv:2302.03169): featurize every document as hashed unigram +
+    bigram bucket counts, fit bag-of-hashed-ngrams distributions for the
+    TARGET slice (``target_col == target_value``) and the RAW pool (the
+    whole corpus), and score each document by how much its grams look
+    drawn from the target rather than the pool.
+
+    Per-bucket importance ratio with add-1 smoothing over the ``B`` -
+    bucket space (``T``/``R`` = total target/raw grams):
+
+        ratio_ppm[b] = (1e6 * (tc[b]+1) * (R+B)) DIV ((rc[b]+1) * (T+B))
+
+    i.e. ``p_target(b) / p_raw(b)`` in exact integer ppm — pure bigint
+    multiply + integer division, bit-identical in Spark (``DIV``) and
+    DuckDB (``//``) for the positive operands here. DSIR sums LOG ratios;
+    this sums the ratios themselves (same repo-wide surrogate rule as
+    lm_score_docs: ``ln()`` breaks cross-engine hash parity in the last
+    ULP). Both order by "target-likeness"; a deployment free of the
+    oracle constraint would swap in ``F.sum(F.ln(ratio))`` in the same
+    plan. The keep decision is the integer cross-multiplication
+    ``imp_sum_ppm >= keep_thr_ppm * n_grams`` (mean ratio >= threshold),
+    a deterministic threshold variant of DSIR's Gumbel resampling.
+
+    Scale design: gram buckets are ``md5_48 % B`` (engine-portable hash,
+    same as minhash/simhash), so BOTH distribution tables are exactly
+    ``B`` rows — they collapse map-side in their groupBys and join back
+    onto the exploded corpus as broadcast dims; totals ride broadcast
+    1-row frames (no driver count). The only corpus-scale exchange is
+    the final per-doc sum on high-cardinality ``doc_id``. NOTE: the
+    bigint product ``1e6*(tc+1)*(R+B)`` is exact up to ~1e18; at true
+    100 TB gram counts the production path downsamples the count tables
+    (or moves to double ratios) — documented trade, irrelevant below
+    ~1e5-doc target slices per fitted model.
+
+    Output: (doc_id, <target_col>, n_grams, imp_sum_ppm, keep).
+    """
+    from .dedupe import md5_48
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    base = df.select(F.col(doc_id_col), F.col(target_col), toks.alias("__w"))
+    n = F.size("__w")
+    # unigrams ++ bigram strings; bigrams from zipped shifted slices
+    # (transform/element_at measured 18x slower — see lm_score_docs)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("__w"), 1, n - 1),
+            F.slice(F.col("__w"), 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        doc_id_col,
+        target_col,
+        F.explode(F.concat(F.col("__w"), bigrams)).alias("g"),
+    )
+    ex = grams.select(
+        doc_id_col,
+        target_col,
+        F.pmod(md5_48(F.col("g")), F.lit(buckets)).alias("bucket"),
+    )
+
+    raw = ex.groupBy("bucket").agg(F.count("*").alias("rc"))
+    tgt = (
+        ex.filter(F.col(target_col) == target_value)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("tc"))
+    )
+    tot_r = raw.agg(F.sum("rc").alias("r_total"))
+    tot_t = tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("t_total"))
+    score = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "bucket",
+            F.expr(
+                f"(1000000 * (coalesce(tc, 0) + 1) * (r_total + {buckets})) "
+                f"DIV ((rc + 1) * (t_total + {buckets}))"
+            ).alias("ratio_ppm"),
+        )
+    )
+    sums = (
+        ex.join(F.broadcast(score), "bucket")
+        .groupBy(doc_id_col)
+        .agg(F.count("*").alias("n_grams"), F.sum("ratio_ppm").alias("imp_sum_ppm"))
+    )
+    return (
+        base.select(doc_id_col, target_col)
+        .join(sums, doc_id_col, "left")
+        .select(
+            doc_id_col,
+            target_col,
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("imp_sum_ppm", F.lit(0)).cast("bigint").alias("imp_sum_ppm"),
+            (
+                (F.coalesce("n_grams", F.lit(0)) > 0)
+                & (
+                    F.coalesce("imp_sum_ppm", F.lit(0))
+                    >= F.lit(int(keep_thr_ppm)) * F.coalesce("n_grams", F.lit(0))
+                )
+            ).alias("keep"),
+        )
+    )

@@ -1535,8 +1535,60 @@ FROM documents d LEFT JOIN sums s USING (doc_id)
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR hashed-ngram importance selection (functions/text.py
+    dsir_select): target = lang='en', raw = whole corpus, 4096 md5-48
+    buckets, exact integer-ppm importance ratios, keep by integer
+    cross-multiplication. Both distribution tables are bucket-sized
+    broadcast dims; the only corpus-scale exchange is the per-doc sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_fns.dsir_select(docs)
+
+
+_DSIR_B = 4096
+
+O_DSIR = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(w, [w[i] || ' ' || w[i + 1]
+                                for i in range(1, len(w))])) AS g
+  FROM toks
+), ex AS (
+  SELECT doc_id, lang, ({hx}) % {b} AS bucket FROM grams
+), raw AS (
+  SELECT bucket, count(*) AS rc FROM ex GROUP BY bucket
+), tgt AS (
+  SELECT bucket, count(*) AS tc FROM ex WHERE lang = 'en' GROUP BY bucket
+), tot AS (
+  SELECT (SELECT count(*) FROM ex) AS r_total,
+         (SELECT count(*) FROM ex WHERE lang = 'en') AS t_total
+), score AS (
+  SELECT r.bucket,
+         CAST((1000000 * (coalesce(t.tc, 0) + 1) * (tot.r_total + {b}))
+              // ((r.rc + 1) * (tot.t_total + {b})) AS BIGINT) AS ratio_ppm
+  FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot
+), sums AS (
+  SELECT e.doc_id, count(*) AS n_grams,
+         sum(s.ratio_ppm) AS imp_sum_ppm
+  FROM ex e JOIN score s USING (bucket) GROUP BY e.doc_id
+)
+SELECT d.doc_id, d.lang,
+  CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(s.imp_sum_ppm, 0) AS BIGINT) AS imp_sum_ppm,
+  (coalesce(s.n_grams, 0) > 0
+   AND coalesce(s.imp_sum_ppm, 0) >= 940000 * coalesce(s.n_grams, 0)) AS keep
+FROM documents d LEFT JOIN sums s USING (doc_id)
+""".replace("{hx}", _HX.format(s="g")).replace("{b}", str(_DSIR_B))
+
+
 TRAINING_QUERIES = {
     "lm_score_docs": q_lm_score,
+    "dsir_select": q_dsir_select,
     "bm25_topk": q_bm25_topk,
     "pack_sequences": q_pack_sequences,
     "mix_sample_docs": q_mix_sample_docs,
@@ -1576,6 +1628,7 @@ TRAINING_QUERIES = {
 
 TRAINING_ORACLES = {
     "lm_score_docs": O_LM_SCORE,
+    "dsir_select": O_DSIR,
     "bm25_topk": _bm25_oracle(),
     "pack_sequences": packing.pack_oracle_sql(_PACK_BUDGET, _PACK_SHARDS),
     "mix_sample_docs": _mix_sample_oracle(),
