@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_docs",
         "bm25_topk",
         "dsir_select",
+        "shard_shuffle",
+        "dataset_manifest",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

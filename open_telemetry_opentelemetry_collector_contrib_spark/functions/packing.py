@@ -240,3 +240,87 @@ def sample_fixed_per_stratum(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shards: int = 16,
+    salt: str = "shuf:",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export: assign every
+    document a shard and a position within that shard by hash order — the
+    "global shuffle before training" stage every pretraining pipeline runs
+    so that adjacent corpus documents (same crawl, same site) don't land in
+    the same training batch.
+
+    The permutation is the md5-48 hash of the salted id: resume-stable
+    (same input -> same shard files, byte for byte), leak-free across
+    re-runs, and engine-portable (DuckDB oracles the exact positions).
+    Ties (48-bit hash collisions) break on the id itself, so the order is
+    total and deterministic.
+
+    Scale design: ONE hash-partition exchange on ``shard`` + a
+    within-partition sort — ``row_number`` over ``partitionBy(shard)``
+    compiles to exactly the repartition+sortWithinPartitions a manual
+    writer would do, never a global sort. ``shards`` is the parallelism
+    knob: production exports use O(10^4-10^5) shards so each task sorts
+    one shard file's worth (~1-2 GB at 100 TB); 16 here keeps the test
+    tables honest. Output rows are (id, shard, pos) — a pure manifest of
+    the permutation, joinable back to content at write time so the wide
+    text column never enters the sort.
+    """
+    from pyspark.sql import Window
+
+    h = md5_48(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    base = df.select(F.col(id_col), h.alias("__h")).select(
+        id_col,
+        F.pmod(F.col("__h"), F.lit(shards)).cast("int").alias("shard"),
+        F.col("__h"),
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return base.select(
+        id_col,
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )
+
+
+def dataset_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = 16,
+    salt: str = "shuf:",
+) -> DataFrame:
+    """Per-shard export manifest: row count + order-insensitive content
+    checksum for each shard of the ``shard_shuffle`` permutation — the
+    artifact a downstream trainer checks before trusting a dataset drop
+    (and the analog of the reference fileexporter's per-sink accounting,
+    `exporter/fileexporter`, lifted to dataset granularity).
+
+    The checksum is the SUM of per-row md5-48 content hashes
+    (``md5_48(id || ':' || text)``): commutative, so it is independent of
+    write order and shard-internal parallelism, and any single-row
+    corruption or drop changes it. 48-bit row hashes summed over <=2^63/2^48
+    rows cannot overflow bigint.
+
+    Scale design: pure map-side-combinable groupBy on the ``shards``-value
+    key — S output rows, no sort, no wide shuffle; the manifest of a 100 TB
+    export is a few KB.
+    """
+    h = md5_48(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    row_sum = md5_48(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(text_col))
+    )
+    return (
+        df.select(
+            F.pmod(h, F.lit(shards)).cast("int").alias("shard"),
+            row_sum.alias("__rh"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__rh").alias("content_sum"),
+        )
+    )

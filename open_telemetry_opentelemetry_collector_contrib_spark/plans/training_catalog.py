@@ -1586,9 +1586,55 @@ FROM documents d LEFT JOIN sums s USING (doc_id)
 """.replace("{hx}", _HX.format(s="g")).replace("{b}", str(_DSIR_B))
 
 
+def q_shard_shuffle(spark, sf_dir):
+    """Deterministic global shuffle for training export (functions/
+    packing.py shard_shuffle): md5-48 hash-order permutation into 16
+    shards with exact in-shard positions; one hash-partition exchange +
+    per-shard sort, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.shard_shuffle(docs)
+
+
+def q_dataset_manifest(spark, sf_dir):
+    """Per-shard export manifest (functions/packing.py dataset_manifest):
+    row counts + order-insensitive summed md5-48 content checksums, one
+    map-side-combinable groupBy on the 16-value shard key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.dataset_manifest(docs)
+
+
+_SHUF_HX = _HX.format(s="'shuf:' || CAST(doc_id AS VARCHAR)")
+_CONTENT_HX = _HX.format(s="CAST(doc_id AS VARCHAR) || ':' || text")
+
+O_SHARD_SHUFFLE = f"""
+WITH sh AS (
+  SELECT doc_id, CAST(({_SHUF_HX}) % 16 AS INTEGER) AS shard,
+         ({_SHUF_HX}) AS h
+  FROM documents
+)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+       AS BIGINT) AS pos
+FROM sh
+"""
+
+O_DATASET_MANIFEST = f"""
+WITH sh AS (
+  SELECT CAST(({_SHUF_HX}) % 16 AS INTEGER) AS shard,
+         ({_CONTENT_HX}) AS rh
+  FROM documents
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(rh) AS BIGINT) AS content_sum
+FROM sh GROUP BY shard
+"""
+
+
 TRAINING_QUERIES = {
     "lm_score_docs": q_lm_score,
     "dsir_select": q_dsir_select,
+    "shard_shuffle": q_shard_shuffle,
+    "dataset_manifest": q_dataset_manifest,
     "bm25_topk": q_bm25_topk,
     "pack_sequences": q_pack_sequences,
     "mix_sample_docs": q_mix_sample_docs,
@@ -1629,6 +1675,8 @@ TRAINING_QUERIES = {
 TRAINING_ORACLES = {
     "lm_score_docs": O_LM_SCORE,
     "dsir_select": O_DSIR,
+    "shard_shuffle": O_SHARD_SHUFFLE,
+    "dataset_manifest": O_DATASET_MANIFEST,
     "bm25_topk": _bm25_oracle(),
     "pack_sequences": packing.pack_oracle_sql(_PACK_BUDGET, _PACK_SHARDS),
     "mix_sample_docs": _mix_sample_oracle(),
