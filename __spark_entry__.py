@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select",
         "shard_shuffle",
         "dataset_manifest",
+        "url_filter",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

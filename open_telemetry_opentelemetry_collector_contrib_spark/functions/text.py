@@ -826,3 +826,55 @@ def dsir_select(
             ).alias("keep"),
         )
     )
+
+
+def url_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    blocked_hosts: tuple[str, ...] = (),
+    bad_words: tuple[str, ...] = (),
+) -> DataFrame:
+    """RefinedWeb-style URL filtering (arXiv:2306.01116 §3.1): the first
+    curation gate of a web-scale pipeline — drop documents by the URL
+    alone, before any content is fetched or parsed. Two rules, exactly
+    the paper's structure: a curated host BLOCKLIST (hard drop) and a
+    soft bad-word score over the URL string (hits above threshold drop).
+
+    ``badword_hits`` counts total occurrences of every ``bad_words``
+    entry in the lowercased URL via the length-difference idiom
+    ``(len(u) - len(replace(u, w))) / len(w)`` — pure integer arithmetic,
+    identical in Spark and DuckDB. ``keep`` = host not blocked AND zero
+    bad-word hits.
+
+    Scale design: everything is a narrow Column program over the URL
+    string — no shuffle, no UDF; the filter pushes into the scan when
+    used as a predicate. The blocklist compiles to a literal ``isin``
+    (an O(1) hash probe per row); a production-sized blocklist (millions
+    of hosts) would swap to a broadcast left-anti join against a hosts
+    dim — same plan shape, still shuffle-free on the corpus side.
+
+    Output adds: url_host, url_domain (registered domain = last two
+    labels), blocked (bool), badword_hits (bigint), keep (bool).
+    """
+    u = F.lower(F.col(url_col))
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    hits = None
+    for w in bad_words:
+        h = (F.length(u) - F.length(F.replace(u, F.lit(w), F.lit("")))) / F.lit(
+            len(w)
+        )
+        h = h.cast("bigint")
+        hits = h if hits is None else hits + h
+    hits = (hits if hits is not None else F.lit(0)).cast("bigint")
+    blocked = (
+        host.isin(*blocked_hosts) if blocked_hosts else F.lit(False)
+    )
+    return df.select(
+        "*",
+        host.alias("url_host"),
+        domain.alias("url_domain"),
+        blocked.alias("blocked"),
+        hits.alias("badword_hits"),
+        (~blocked & (hits == 0)).alias("keep"),
+    )

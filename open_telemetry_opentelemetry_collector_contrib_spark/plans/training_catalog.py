@@ -1586,6 +1586,56 @@ FROM documents d LEFT JOIN sums s USING (doc_id)
 """.replace("{hx}", _HX.format(s="g")).replace("{b}", str(_DSIR_B))
 
 
+_URL_BLOCKED = ("svc-3.example.com", "svc-7.example.com")
+_URL_BADWORDS = ("error", "debug")
+
+
+def q_url_filter(spark, sf_dir):
+    """RefinedWeb-style URL filtering (functions/text.py url_filter) over
+    deterministic synthesized event URLs: curated host blocklist (hard
+    drop) + bad-word occurrence score (soft drop). Narrow Column program,
+    no shuffle; blocklist is a literal isin hash probe."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("https://svc-"), F.col("user_id").cast("string"),
+            F.lit(".example.com/api/"), F.col("event_type"),
+            F.lit("?k="), F.col("event_id").cast("string"),
+        ).alias("url"),
+    )
+    out = text_fns.url_filter(
+        df, "url", blocked_hosts=_URL_BLOCKED, bad_words=_URL_BADWORDS
+    )
+    return out.select(
+        "event_id", "url_host", "url_domain", "blocked", "badword_hits", "keep"
+    )
+
+
+O_URL_FILTER = r"""
+WITH u AS (
+  SELECT event_id,
+    lower('https://svc-' || CAST(user_id AS VARCHAR) || '.example.com/api/'
+          || event_type || '?k=' || CAST(event_id AS VARCHAR)) AS url
+  FROM events
+), p AS (
+  SELECT event_id, url,
+    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS url_host,
+    CAST((length(url) - length(replace(url, 'error', ''))) // 5
+       + (length(url) - length(replace(url, 'debug', ''))) // 5
+       AS BIGINT) AS badword_hits
+  FROM u
+)
+SELECT event_id, url_host,
+  regexp_extract(url_host, '([^.]+\.[^.]+)$', 1) AS url_domain,
+  (url_host IN ('svc-3.example.com', 'svc-7.example.com')) AS blocked,
+  badword_hits,
+  (NOT url_host IN ('svc-3.example.com', 'svc-7.example.com')
+   AND badword_hits = 0) AS keep
+FROM p
+"""
+
+
 def q_shard_shuffle(spark, sf_dir):
     """Deterministic global shuffle for training export (functions/
     packing.py shard_shuffle): md5-48 hash-order permutation into 16
@@ -1635,6 +1685,7 @@ TRAINING_QUERIES = {
     "dsir_select": q_dsir_select,
     "shard_shuffle": q_shard_shuffle,
     "dataset_manifest": q_dataset_manifest,
+    "url_filter": q_url_filter,
     "bm25_topk": q_bm25_topk,
     "pack_sequences": q_pack_sequences,
     "mix_sample_docs": q_mix_sample_docs,
@@ -1677,6 +1728,7 @@ TRAINING_ORACLES = {
     "dsir_select": O_DSIR,
     "shard_shuffle": O_SHARD_SHUFFLE,
     "dataset_manifest": O_DATASET_MANIFEST,
+    "url_filter": O_URL_FILTER,
     "bm25_topk": _bm25_oracle(),
     "pack_sequences": packing.pack_oracle_sql(_PACK_BUDGET, _PACK_SHARDS),
     "mix_sample_docs": _mix_sample_oracle(),
