@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "repeated_spans",
     "lm_score_docs",
     "bm25_topk",
+    "dsir_select",
+    "shard_shuffle",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

@@ -784,25 +784,23 @@ def dsir_select(
         F.pmod(md5_48(F.col("g")), F.lit(buckets)).alias("bucket"),
     )
 
-    raw = ex.groupBy("bucket").agg(F.count("*").alias("rc"))
-    tgt = (
-        ex.filter(F.col(target_col) == target_value)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("tc"))
+    # raw + target bucket counts in ONE corpus pass (conditional agg) —
+    # two separate groupBys would each re-scan and re-explode the corpus
+    stats = ex.groupBy("bucket").agg(
+        F.count("*").alias("rc"),
+        F.sum(
+            F.when(F.col(target_col) == target_value, 1).otherwise(0)
+        ).alias("tc"),
     )
-    tot_r = raw.agg(F.sum("rc").alias("r_total"))
-    tot_t = tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("t_total"))
-    score = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(tot_r))
-        .crossJoin(F.broadcast(tot_t))
-        .select(
-            "bucket",
-            F.expr(
-                f"(1000000 * (coalesce(tc, 0) + 1) * (r_total + {buckets})) "
-                f"DIV ((rc + 1) * (t_total + {buckets}))"
-            ).alias("ratio_ppm"),
-        )
+    tot = stats.agg(
+        F.sum("rc").alias("r_total"), F.sum("tc").alias("t_total")
+    )
+    score = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"(1000000 * (tc + 1) * (r_total + {buckets})) "
+            f"DIV ((rc + 1) * (t_total + {buckets}))"
+        ).alias("ratio_ppm"),
     )
     sums = (
         ex.join(F.broadcast(score), "bucket")
