@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_shuffle",
         "dataset_manifest",
         "url_filter",
+        "training_export",
         # flagship, keep fresh
         "pipeline_route",
         "pipeline_sink_counts",

@@ -1586,6 +1586,104 @@ FROM documents d LEFT JOIN sums s USING (doc_id)
 """.replace("{hx}", _HX.format(s="g")).replace("{b}", str(_DSIR_B))
 
 
+_EXPORT_QTHR = 550_000
+_EXPORT_SHARDS = 16
+
+
+def q_training_export(spark, sf_dir):
+    """End-to-end training-export tail as ONE Catalyst DAG: quality gate
+    (quality_ppm >= 550k, functions/text.py quality_signals) -> exact
+    dedup keep (min doc_id per md5(text)) -> deterministic train split
+    (functions/packing.py dataset_split) -> global shard shuffle with
+    exact in-shard positions (same permutation as functions/packing.py
+    shard_shuffle, inlined to carry quality_ppm through without a
+    re-join).
+
+    Scale shape: the gates are narrow Column filters that push into the
+    scan; the pipeline's only exchanges are (1) the dedup hash-partition
+    on the text digest and (2) the shard partition + per-shard sort. No
+    global sort, no corpus-scale join — the composition costs exactly
+    its two constituent shuffles.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = text_fns.quality_signals(docs).filter(
+        F.col("quality_ppm") >= _EXPORT_QTHR
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    train = packing.dataset_split(deduped).filter(F.col("split") == "train")
+    h = dedupe.md5_48(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    sh = train.select(
+        "doc_id",
+        "quality_ppm",
+        F.pmod(h, F.lit(_EXPORT_SHARDS)).cast("int").alias("shard"),
+        h.alias("__h"),
+    )
+    w2 = Window.partitionBy("shard").orderBy("__h", "doc_id")
+    return sh.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w2) - 1).cast("bigint").alias("pos"),
+        "quality_ppm",
+    )
+
+
+def _training_export_oracle() -> str:
+    split_hx = _HX.format(s="'split7' || CAST(doc_id AS VARCHAR)")
+    shuf_hx = _HX.format(s="'shuf:' || CAST(doc_id AS VARCHAR)")
+    return rf"""
+WITH q0 AS (
+  SELECT doc_id, text,
+    CAST(length(text) AS BIGINT) AS n_chars_t,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|that|for)\b')) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, text,
+    CASE WHEN n_chars_t > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_t ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+    CASE WHEN n_tokens > 0 THEN CAST(n_chars_t AS DOUBLE) / n_tokens ELSE 0.0 END AS mwl
+  FROM q0
+), g AS (
+  SELECT doc_id, text,
+    CAST(floor((least(stop_ratio * 2, 1.0) * 0.5
+                + CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 0.3 ELSE 0.0 END
+                + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END)
+               * 1000000) AS BIGINT) AS quality_ppm
+  FROM r
+), gated AS (
+  SELECT * FROM g WHERE quality_ppm >= {_EXPORT_QTHR}
+), deduped AS (
+  SELECT doc_id, quality_ppm FROM (
+    SELECT doc_id, quality_ppm,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+), train AS (
+  SELECT doc_id, quality_ppm FROM deduped
+  WHERE ({split_hx}) % 1000000 >= 100000
+), sh AS (
+  SELECT doc_id, quality_ppm,
+         CAST(({shuf_hx}) % {_EXPORT_SHARDS} AS INTEGER) AS shard,
+         ({shuf_hx}) AS h
+  FROM train
+)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+       AS BIGINT) AS pos,
+  quality_ppm
+FROM sh
+"""
+
+
 _URL_BLOCKED = ("svc-3.example.com", "svc-7.example.com")
 _URL_BADWORDS = ("error", "debug")
 
@@ -1686,6 +1784,7 @@ TRAINING_QUERIES = {
     "shard_shuffle": q_shard_shuffle,
     "dataset_manifest": q_dataset_manifest,
     "url_filter": q_url_filter,
+    "training_export": q_training_export,
     "bm25_topk": q_bm25_topk,
     "pack_sequences": q_pack_sequences,
     "mix_sample_docs": q_mix_sample_docs,
@@ -1729,6 +1828,7 @@ TRAINING_ORACLES = {
     "shard_shuffle": O_SHARD_SHUFFLE,
     "dataset_manifest": O_DATASET_MANIFEST,
     "url_filter": O_URL_FILTER,
+    "training_export": _training_export_oracle(),
     "bm25_topk": _bm25_oracle(),
     "pack_sequences": packing.pack_oracle_sql(_PACK_BUDGET, _PACK_SHARDS),
     "mix_sample_docs": _mix_sample_oracle(),

@@ -98,7 +98,11 @@ def materialize_docs(spark, sf_dir: str, rep: int, out_dir: str) -> int:
             .drop("rep")
         )
         os.makedirs(out_dir, exist_ok=True)
-        scaled.write.mode("overwrite").parquet(docs_out)
+        # write enough files that post-explode operators get full task
+        # parallelism from the scan (explode blowup can't be split by
+        # maxPartitionBytes after the fact; 4 files = 4 tasks on 32 cores)
+        nfiles = max(4, 2 * (spark.sparkContext.defaultParallelism or 4))
+        scaled.repartition(nfiles).write.mode("overwrite").parquet(docs_out)
     # symlink the rest of the testdata layout
     for name in os.listdir(sf_dir):
         dst = os.path.join(out_dir, name)
@@ -210,6 +214,12 @@ def main() -> None:
     bench.SCALED_TABLE = TURNS_TABLE
 
     os.makedirs(GATE_DIR, exist_ok=True)
+    # stale event logs from a previous gate run share job-group names and
+    # would contaminate parse_eventlog's per-group stage metrics
+    if os.path.isdir(EVENTLOG_DIR):
+        import shutil
+
+        shutil.rmtree(EVENTLOG_DIR)
     spark = eventlog_spark(args.cores)
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
@@ -257,18 +267,39 @@ def main() -> None:
         summary["lsh_growth"] = lsh
 
         big = os.path.join(DOCS_BASE, f"x{args.docs_rep}")
-        for name, q in (
-            ("curation_pipeline", tc.q_curation_pipeline),
-            ("pack_sequences", tc.q_pack_sequences),
+        # (name, query, forced): forced=True materializes EVERY column via
+        # the noop sink — count() alone lets Catalyst prune unique-key
+        # outer joins and windows, timing an empty plan (dsir_select /
+        # shard_shuffle read 25 KB under count()). curation/pack keep
+        # count() for round-over-round comparability with the r4 records.
+        for name, q, forced in (
+            ("curation_pipeline", tc.q_curation_pipeline, False),
+            ("pack_sequences", tc.q_pack_sequences, False),
+            # production hash path (xxhash64 buckets) — the registered
+            # driver query is the portable md5-48 twin, same plan shape
+            (
+                "dsir_select",
+                lambda s, d: tc.text_fns.dsir_select(
+                    tc.load_table(s, d, "documents"), portable=False
+                ),
+                True,
+            ),
+            ("shard_shuffle", tc.q_shard_shuffle, True),
         ):
             gid = f"{name}_10x"
             sc.setJobGroup(gid, f"{name} at 10x docs")
             groups[gid] = gid
             t0 = time.perf_counter()
-            rows = q(spark, big).count()
+            df = q(spark, big)
+            if forced:
+                bench.force(df)
+                rows = None
+            else:
+                rows = df.count()
             summary[name] = {
                 "rows": rows,
                 "sec": round(time.perf_counter() - t0, 2),
+                "forced": forced,
             }
             sc.setJobGroup("", "")
 
