@@ -402,6 +402,7 @@ def main() -> None:
     # the driver records only a bounded tail of stdout, and r4's record lost
     # its headline when min/max grew the final line past that window.
     detail = {
+        "queries_median": timings,
         "queries_min": timings_min,
         "queries_max": timings_max,
         "scaling_rounds": times.get("rounds"),
@@ -426,7 +427,10 @@ def main() -> None:
         "metric": "e2e_parse_enrich_route_aggregate",
         "value": round(e2e, 3),
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
+        # 2-decimal on the final line (56 queries at 3-decimal is ~1.91 KB
+        # worst-case — over the trim guard); 4-decimal medians live in
+        # BENCH_DETAIL.json alongside the min/max bands.
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
         "turns": n_turns,
         "turns_per_sec": round(n_turns / e2e, 1),
@@ -456,7 +460,11 @@ def main() -> None:
         # letting the driver's tail capture truncate the line mid-JSON.
         detail["queries_median_overflow"] = dict(final["queries"])
         while len(line) > 1900 and final["queries"]:
-            final["queries"].popitem()
+            # shed the cheapest queries first: sub-second medians carry the
+            # least round-over-round signal, and popitem() would drop the
+            # newest (current-round) additions instead
+            drop = min(final["queries"], key=final["queries"].get)
+            del final["queries"][drop]
             line = json.dumps(final, separators=(",", ":"))
         try:
             with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:

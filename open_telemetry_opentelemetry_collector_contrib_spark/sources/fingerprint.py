@@ -184,7 +184,10 @@ class FingerprintedConsumer:
         lines = read_from_offsets(matched).localCheckpoint(eager=True)
         # commit: advanced offsets keyed by the CURRENT fingerprint (a
         # short fingerprint that grew is re-keyed to its longer form,
-        # exactly the reference's fingerprint update-on-growth)
+        # exactly the reference's fingerprint update-on-growth). The two
+        # collects below are checkpoint METADATA — one row per tracked
+        # file, driver-side by design (the reference's tracker is equally
+        # single-process); corpus rows never leave the cluster.
         for r in (
             lines.groupBy("fp_hex").agg(F.max("new_offset").alias("o")).collect()
         ):
