@@ -279,14 +279,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(TRAINING_QUERIES)
     out.update(METRICFN_QUERIES)
     out.update(_flagship_queries())
-    # Stable priority ordering: queries whose driver correctness rows are
-    # STALEST lead the dict so a prefix-sampling driver refreshes them first.
-    # Round 5: the 35 queries whose last green row is CORRECTNESS_r03 lead
-    # (CORRECTNESS_r03 minus CORRECTNESS_r04 — with the r4 sample fully
-    # green, these are the only rows one round old), then this round's
-    # changed queries, then the flagship pipeline.
+    # Stable priority ordering for a prefix-sampling driver (~50 of the
+    # registry per round). Risk-ranked: (1) queries added THIS round that
+    # have never appeared in any CORRECTNESS file — an operator with no
+    # driver record ever is worse than one whose green row is a round old;
+    # (2) route_latency_quantiles, whose plan was rewritten this round
+    # (counting-sort) so its r4 green row no longer covers the shipping
+    # code; (3) the rows-only entries, whose weaker checks only exist in
+    # the driver record; (4) the flagship pipeline; (5) the 35 queries
+    # whose last green row is CORRECTNESS_r03 (r03 minus r04 — never red).
     priority = [
-        # last driver record r03 — refresh these first
+        # new this round — no driver record exists yet
+        "histogram_cumulative_to_delta",
+        "histogram_delta_to_cumulative",
+        "decontaminate_bloom",
+        "mix_temperature_docs",
+        "interval_passthrough",
+        "minhash_incremental",
+        "metric_convert_gauge_sum",
+        "extract_histogram_sum_count",
+        "summary_convert_sums",
+        "copy_scale_metric",
+        "expo_to_explicit_upper",
+        "expo_to_explicit_uniform",
+        "semdedup",
+        "repeated_spans",
+        "aggregate_on_attrs_stmt",
+        "conv_dedup",
+        "fixed_stratum_sample",
+        "span_rename",
+        "logs_transform",
+        "lm_score_docs",
+        "bm25_topk",
+        "dsir_select",
+        "shard_shuffle",
+        "dataset_manifest",
+        "url_filter",
+        "training_export",
+        # plan rewritten this round — r4 green row predates the shipping code
+        "route_latency_quantiles",
+        # rows-only entries — their weaker checks exist only in the driver
+        "ann_cosine_ivf",
+        "multimodal_features",
+        "frame_sample_plan",
+        # flagship, keep fresh
+        "pipeline_route",
+        "pipeline_sink_counts",
+        "pipeline_sum_latency",
+        "transcripts",
+        "pipeline_parse",
+        "pipeline_enrich",
+        # last driver record r03 — refresh as sample budget allows
         "ann_cosine_lsh",
         "ann_cosine_topk",
         "ann_ivf_fullprobe",
@@ -322,46 +365,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tail_sampling",
         "tail_sampling_policies",
         "transform_statements",
-        # changed or new this round
-        "route_latency_quantiles",
-        "histogram_cumulative_to_delta",
-        "histogram_delta_to_cumulative",
-        "decontaminate_bloom",
-        "mix_temperature_docs",
-        "interval_passthrough",
-        "minhash_incremental",
-        "metric_convert_gauge_sum",
-        "extract_histogram_sum_count",
-        "summary_convert_sums",
-        "copy_scale_metric",
-        "expo_to_explicit_upper",
-        "expo_to_explicit_uniform",
-        "semdedup",
-        "repeated_spans",
-        "aggregate_on_attrs_stmt",
-        "conv_dedup",
-        "fixed_stratum_sample",
-        "span_rename",
-        "logs_transform",
-        "lm_score_docs",
-        "bm25_topk",
-        "dsir_select",
-        "shard_shuffle",
-        "dataset_manifest",
-        "url_filter",
-        "training_export",
-        # flagship, keep fresh
-        "pipeline_route",
-        "pipeline_sink_counts",
-        "pipeline_sum_latency",
-        "transcripts",
-        "pipeline_parse",
-        "pipeline_enrich",
-        # rows-only entries — keep in the sampled prefix so their weaker
-        # checks stay fresh too
-        "ann_cosine_ivf",
-        "multimodal_features",
-        "frame_sample_plan",
     ]
     ordered = {k: out[k] for k in priority if k in out}
     ordered.update(out)
