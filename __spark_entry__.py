@@ -290,6 +290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whose last green row is CORRECTNESS_r03 (r03 minus r04 — never red).
     priority = [
         # new this round — no driver record exists yet
+        "c4_clean",
+        "paragraph_dedup",
         "histogram_cumulative_to_delta",
         "histogram_delta_to_cumulative",
         "decontaminate_bloom",

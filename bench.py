@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "bm25_topk",
     "dsir_select",
     "shard_shuffle",
+    "c4_clean",
+    "paragraph_dedup",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

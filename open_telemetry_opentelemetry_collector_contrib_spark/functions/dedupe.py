@@ -757,3 +757,55 @@ def conv_exact_dedup(
         "group_n",
         (F.col(conv_col) == F.col("__rep")).alias("kept"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    page_col: str = "page_id",
+    idx_col: str = "line_idx",
+    line_col: str = "line",
+) -> DataFrame:
+    """CCNet-style cross-document paragraph deduplication (Wenzek et al.
+    2020, arXiv:1911.00359 §3.1): hash every paragraph, keep only the FIRST
+    occurrence corpus-wide (ordered by page then position), drop every
+    later repeat — removes boilerplate headers/footers/navigation shared
+    across pages while keeping one canonical copy.
+
+    Output: one row per page — ``(page_id, n_lines, n_kept, kept_md5)``
+    where ``kept_md5`` hashes the newline-joined surviving paragraphs in
+    original order (NULL when the page loses every paragraph).
+
+    Scale: first-occurrence selection is a row_number window partitioned by
+    the 128-bit paragraph digest — a UNIFORM high-cardinality key (one
+    group per distinct paragraph, group size = duplicate count), so the
+    single window shuffle spreads evenly and per-group sorts are tiny; hot
+    boilerplate paragraphs cap at the duplicate count of one value, which
+    AQE skew-split handles if a single paragraph dominates a corpus. The
+    page reassembly groupBy is the only other exchange. No joins, no
+    driver-side state.
+    """
+    line = F.col(line_col)
+    w = Window.partitionBy("_h").orderBy(page_col, idx_col)
+    per_line = (
+        df.select(F.col(page_col), F.col(idx_col), line, F.md5(line).alias("_h"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_keep", F.col("_rn") == 1)
+    )
+    agg = per_line.groupBy(page_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("_keep"), F.struct(F.col(idx_col).alias("i"), line.alias("t"))
+                )
+            )
+        ).alias("_kept"),
+    )
+    kept = F.array_join(F.transform(F.col("_kept"), lambda s: s["t"]), "\n")
+    return agg.select(
+        F.col(page_col),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.when(F.col("n_kept") > 0, F.md5(kept)).alias("kept_md5"),
+    )

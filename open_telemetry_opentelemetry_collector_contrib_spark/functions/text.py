@@ -891,3 +891,73 @@ def url_filter(
         hits.alias("badword_hits"),
         (~blocked & (hits == 0)).alias("keep"),
     )
+
+
+def c4_line_clean(
+    df: DataFrame,
+    page_col: str = "page_id",
+    idx_col: str = "line_idx",
+    line_col: str = "line",
+    min_words: int = 3,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+    over a (page, line_idx, line) corpus — the rule set the C4 dataset was
+    built with:
+
+    - keep only lines that END in a terminal punctuation mark
+      (``. ! ? "``),
+    - keep only lines with >= ``min_words`` words,
+    - drop lines containing the word ``javascript`` (case-insensitive),
+    - drop the WHOLE page if any line contains ``lorem ipsum`` or a curly
+      brace ``{`` (code markers),
+    - drop pages with fewer than ``min_kept_lines`` surviving lines.
+
+    Output: one row per page — ``(page_id, n_lines, n_kept, page_keep,
+    cleaned_md5)`` where ``cleaned_md5`` hashes the newline-joined kept
+    lines in line order (NULL for dropped pages), so downstream equality
+    checks don't ship cleaned bodies around.
+
+    Scale: every line rule is a narrow Column predicate evaluated in the
+    scan stage (whole-stage codegen, pushdown-friendly); the ONLY exchange
+    is the final groupBy on ``page_col``. Page groups are document-sized
+    (bounded), so collect_list cannot skew a task, and the aggregate's
+    boolean/count legs are map-side combinable. At 100 TB this is one
+    shuffle of (page, idx, kept-line) rows — the same shape as any
+    per-document reassembly.
+    """
+    line = F.col(line_col)
+    n_words = token_count(line)
+    ends_terminal = line.rlike(r'[.!?"]\s*$')
+    has_js = F.lower(line).rlike(r"\bjavascript\b")
+    page_poison = F.lower(line).contains("lorem ipsum") | line.contains("{")
+    line_keep = ends_terminal & (n_words >= min_words) & ~has_js & ~page_poison
+
+    per_line = df.select(
+        F.col(page_col),
+        F.col(idx_col),
+        line,
+        line_keep.alias("_keep"),
+        page_poison.alias("_poison"),
+    )
+    agg = per_line.groupBy(page_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+        F.max(F.col("_poison")).alias("_page_poison"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("_keep"), F.struct(F.col(idx_col).alias("i"), line.alias("t"))
+                )
+            )
+        ).alias("_kept"),
+    )
+    page_keep = ~F.col("_page_poison") & (F.col("n_kept") >= min_kept_lines)
+    cleaned = F.array_join(F.transform(F.col("_kept"), lambda s: s["t"]), "\n")
+    return agg.select(
+        F.col(page_col),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        page_keep.alias("page_keep"),
+        F.when(page_keep, F.md5(cleaned)).alias("cleaned_md5"),
+    )

@@ -1778,7 +1778,129 @@ FROM sh GROUP BY shard
 """
 
 
+# ---------------------------------------------------------------------------
+# line/paragraph-granularity cleaning — C4 line rules + CCNet paragraph dedup
+# ---------------------------------------------------------------------------
+
+# Deterministic multi-line "pages" synthesized from documents: 8 consecutive
+# doc_ids form one page, each document's text one line. c4_clean additionally
+# decorates lines with deterministic terminal punctuation / poison markers so
+# every C4 rule actually fires at test scale. Identical expressions on both
+# engines keep the outputs hash-comparable.
+
+
+def _c4_line_expr() -> F.Column:
+    text = F.col("text")
+    doc_id = F.col("doc_id")
+    body = F.when(
+        doc_id % 13 == 5, F.array_join(F.slice(F.split(text, " "), 1, 2), " ")
+    ).otherwise(text)
+    js = F.when(doc_id % 17 == 3, F.lit("javascript ")).otherwise(F.lit(""))
+    lorem = F.when(doc_id % 97 == 11, F.lit(" lorem ipsum")).otherwise(F.lit(""))
+    curly = F.when(doc_id % 89 == 7, F.lit(" {")).otherwise(F.lit(""))
+    punct = (
+        F.when(doc_id % 5 == 0, F.lit("."))
+        .when(doc_id % 5 == 1, F.lit("!"))
+        .when(doc_id % 5 == 2, F.lit("?"))
+        .when(doc_id % 5 == 3, F.lit(""))
+        .otherwise(F.lit('."'))
+    )
+    return F.concat(js, body, lorem, curly, punct)
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning (functions/text.py c4_line_clean) over pages
+    of 8 documents; per-page keep decision + cleaned-body md5. Line rules
+    run in the scan stage; one groupBy(page) exchange total."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.expr("doc_id DIV 8").alias("page_id"),
+        (F.col("doc_id") % 8).alias("line_idx"),
+        _c4_line_expr().alias("line"),
+    )
+    return text_fns.c4_line_clean(lines)
+
+
+O_C4_CLEAN = r"""
+WITH lines AS (
+  SELECT doc_id // 8 AS page_id, doc_id % 8 AS line_idx,
+    (CASE WHEN doc_id % 17 = 3 THEN 'javascript ' ELSE '' END)
+    || (CASE WHEN doc_id % 13 = 5
+             THEN array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ')
+             ELSE text END)
+    || (CASE WHEN doc_id % 97 = 11 THEN ' lorem ipsum' ELSE '' END)
+    || (CASE WHEN doc_id % 89 = 7 THEN ' {' ELSE '' END)
+    || (CASE doc_id % 5 WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?'
+             WHEN 3 THEN '' ELSE '."' END) AS line
+  FROM documents
+), sig AS (
+  SELECT page_id, line_idx, line,
+    (contains(lower(line), 'lorem ipsum') OR contains(line, '{')) AS poison,
+    (regexp_matches(line, '[.!?"]\s*$')
+     AND len(string_split_regex(trim(line), '\s+')) >= 3
+     AND NOT regexp_matches(lower(line), '\bjavascript\b')
+     AND NOT (contains(lower(line), 'lorem ipsum') OR contains(line, '{'))) AS k
+  FROM lines
+)
+SELECT page_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  (NOT bool_or(poison)
+   AND sum(CASE WHEN k THEN 1 ELSE 0 END) >= 3) AS page_keep,
+  CASE WHEN NOT bool_or(poison)
+        AND sum(CASE WHEN k THEN 1 ELSE 0 END) >= 3
+       THEN md5(string_agg(line, chr(10) ORDER BY line_idx) FILTER (WHERE k))
+  END AS cleaned_md5
+FROM sig GROUP BY page_id
+"""
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet cross-document paragraph dedup (functions/dedupe.py
+    paragraph_dedup) over the same 8-doc pages: corpus-wide
+    first-occurrence keep per paragraph digest, per-page survivor summary.
+    Every third line is a 2-word prefix "boilerplate" paragraph (high
+    cross-page duplicate rate, ~30% of them repeat at sf0.01) so the
+    first-occurrence rule demonstrably fires; the rest are full documents
+    (unique)."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    line = F.when(
+        F.col("doc_id") % 3 == 0, F.array_join(F.slice(F.split(text, " "), 1, 2), " ")
+    ).otherwise(text)
+    lines = docs.select(
+        F.expr("doc_id DIV 8").alias("page_id"),
+        (F.col("doc_id") % 8).alias("line_idx"),
+        line.alias("line"),
+    )
+    return dedupe.paragraph_dedup(lines)
+
+
+O_PARAGRAPH_DEDUP = """
+WITH lines AS (
+  SELECT doc_id // 8 AS page_id, doc_id % 8 AS line_idx,
+    CASE WHEN doc_id % 3 = 0
+         THEN array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ')
+         ELSE text END AS line
+  FROM documents
+), r AS (
+  SELECT page_id, line_idx, line,
+    row_number() OVER (PARTITION BY md5(line) ORDER BY page_id, line_idx) AS rn
+  FROM lines
+)
+SELECT page_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+       THEN md5(string_agg(line, chr(10) ORDER BY line_idx) FILTER (WHERE rn = 1))
+  END AS kept_md5
+FROM r GROUP BY page_id
+"""
+
+
 TRAINING_QUERIES = {
+    "c4_clean": q_c4_clean,
+    "paragraph_dedup": q_paragraph_dedup,
     "lm_score_docs": q_lm_score,
     "dsir_select": q_dsir_select,
     "shard_shuffle": q_shard_shuffle,
@@ -1823,6 +1945,8 @@ TRAINING_QUERIES = {
 }
 
 TRAINING_ORACLES = {
+    "c4_clean": O_C4_CLEAN,
+    "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "lm_score_docs": O_LM_SCORE,
     "dsir_select": O_DSIR,
     "shard_shuffle": O_SHARD_SHUFFLE,

@@ -588,3 +588,76 @@ def test_repeated_ngram_spans_merge_and_cut_list(spark):
     assert out[1] == (4, 10, 2)
     assert out[2] == (3, 9, 2)
     assert 3 not in out  # no cross-doc repeats
+
+
+# ---------------------------------------------------------------------------
+# C4 line cleaning + CCNet paragraph dedup (hand-computed corpora)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def page_lines(spark):
+    rows = [
+        # page 1: clean page, 3 kept lines + 1 dropped (no terminal punct)
+        (1, 0, "the quick brown fox runs."),
+        (1, 1, "a lazy dog sleeps here!"),
+        (1, 2, "what a fine day?"),
+        (1, 3, "no terminal punctuation here"),
+        # page 2: poisoned by a curly brace -> whole page dropped
+        (2, 0, "function f() { return 1; }."),
+        (2, 1, "a perfectly fine sentence."),
+        (2, 2, "another good one."),
+        (2, 3, "and a third keeper."),
+        # page 3: too few survivors (short line, javascript line)
+        (3, 0, "ok."),
+        (3, 1, "enable JavaScript to view this page."),
+        (3, 2, "one good sentence survives here."),
+    ]
+    return spark.createDataFrame(rows, ["page_id", "line_idx", "line"])
+
+
+def test_c4_line_clean_rules(page_lines):
+    out = {
+        r.page_id: r
+        for r in text_fns.c4_line_clean(page_lines).collect()
+    }
+    assert out[1].n_lines == 4 and out[1].n_kept == 3 and out[1].page_keep
+    assert out[1].cleaned_md5 is not None
+    # poison page: lines may individually pass but the page dies
+    assert out[2].page_keep is False and out[2].cleaned_md5 is None
+    # "ok." fails min_words, the javascript line dies, 1 survivor < 3
+    assert out[3].n_kept == 1 and out[3].page_keep is False
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    rows = [
+        (1, 0, "shared navigation header"),
+        (1, 1, "unique body one"),
+        (2, 0, "shared navigation header"),  # later page -> dropped
+        (2, 1, "unique body two"),
+        (2, 2, "shared navigation header"),  # same page repeat -> dropped
+        (3, 0, "shared navigation header"),  # dropped
+    ]
+    df = spark.createDataFrame(rows, ["page_id", "line_idx", "line"])
+    out = {r.page_id: r for r in dedupe.paragraph_dedup(df).collect()}
+    assert out[1].n_kept == 2  # first occurrence kept
+    assert out[2].n_kept == 1  # only the unique body survives
+    assert out[3].n_kept == 0 and out[3].kept_md5 is None
+    # kept_md5 hashes surviving lines in original order
+    import hashlib
+    exp = hashlib.md5(
+        "shared navigation header\nunique body one".encode()
+    ).hexdigest()
+    assert out[1].kept_md5 == exp
+
+
+def test_paragraph_dedup_order_is_page_then_idx(spark):
+    # first occurrence = smallest (page, idx), not insertion order
+    rows = [
+        (9, 0, "dup para"),
+        (2, 5, "dup para"),
+        (2, 1, "dup para"),
+    ]
+    df = spark.createDataFrame(rows, ["page_id", "line_idx", "line"])
+    out = {(r.page_id): r for r in dedupe.paragraph_dedup(df).collect()}
+    assert out[2].n_kept == 1 and out[9].n_kept == 0
