@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round — no driver record exists yet
         "c4_clean",
         "paragraph_dedup",
+        "winnow_fingerprints",
         "histogram_cumulative_to_delta",
         "histogram_delta_to_cumulative",
         "decontaminate_bloom",

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "shard_shuffle",
     "c4_clean",
     "paragraph_dedup",
+    "winnow_fingerprints",
 ]
 
 SCALED_DIR = "/tmp/otelcol_bench_scaled"

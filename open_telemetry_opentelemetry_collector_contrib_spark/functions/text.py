@@ -364,6 +364,50 @@ def fingerprint_winnow(
     return F.array_min(hashes)
 
 
+def winnow_fingerprints(
+    text: Column, n: int = 8, w: int = 4, base_hash: str = "xxhash64"
+) -> Column:
+    """TRUE winnowing (Schleimer, Wilkerson & Aiken 2003, SIGMOD — the MOSS
+    algorithm): hash every char ``n``-gram, slide a window of ``w``
+    consecutive gram hashes, select each window's MINIMUM, return the
+    per-document set of selected values (sorted, distinct). The winnowing
+    guarantee: any substring match of length >= ``w + n - 1`` between two
+    documents shares at least one fingerprint, so an equality join on the
+    exploded output finds local plagiarism/copy spans that whole-document
+    hashing misses. (We select min VALUES rather than rightmost-min
+    positions — deterministic, engine-portable, and the coverage guarantee
+    is unchanged.)
+
+    Docs with fewer than ``w`` grams degrade to their single global min —
+    the ``fingerprint_winnow`` value — so short docs still fingerprint.
+
+    Scale: a WITHIN-ROW array program (no explode before selection, no
+    shuffle): O(L*w) slice-mins per doc. ``w`` is a small constant (4-16 in
+    practice), so this stays scan-stage work; for book-length docs an
+    O(L) monotonic-deque pass via mapInPandas would replace the inner
+    slice-min, same output. base_hash='md5_48' is the DuckDB-reproducible
+    twin used by the oracle-checked catalog query.
+    """
+    if base_hash == "xxhash64":
+        hasher = F.xxhash64
+    else:
+        from .dedupe import md5_48 as hasher  # type: ignore[assignment]
+
+    def pick(hs: Column) -> Column:
+        n_win = F.size(hs) - (w - 1)
+        sels = F.transform(
+            F.sequence(F.lit(1), n_win), lambda i: F.array_min(F.slice(hs, i, w))
+        )
+        return F.when(n_win >= 1, sels).otherwise(F.array(F.array_min(hs)))
+
+    hashes = F.transform(char_shingles(text, n), lambda s: hasher(s))
+    # bind the hash array once as an HOF lambda variable — Catalyst would
+    # otherwise inline the full gram-hash computation into every slice
+    return F.array_sort(
+        F.array_distinct(F.transform(F.array(hashes), pick)[0])
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing + benchmark decontamination (training-data hygiene)
 # ---------------------------------------------------------------------------

@@ -1855,6 +1855,43 @@ FROM sig GROUP BY page_id
 """
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """TRUE winnowing fingerprints (functions/text.py winnow_fingerprints,
+    MOSS algorithm): per-doc set of window-local min gram hashes, exploded
+    to (doc_id, fingerprint) rows — an equality join on this output finds
+    local copy spans >= w+n-1 chars. Selection is a within-row array
+    program (no shuffle); the explode happens only at the output edge."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            text_fns.winnow_fingerprints(F.col("text"), base_hash="md5_48")
+        ).alias("fingerprint"),
+    )
+
+
+_WINNOW_HX = _HX.format(s="s")
+
+O_WINNOW_FINGERPRINTS = f"""
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= 8
+      THEN [substring(text, i, 8) for i in range(1, length(text) - 6)]
+      ELSE [text] END AS grams
+  FROM documents
+), h AS (
+  SELECT doc_id, list_transform(grams, s -> {_WINNOW_HX}) AS hs FROM g
+), sel AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) >= 4
+      THEN [list_min(list_slice(hs, i, i + 3)) for i in range(1, len(hs) - 2)]
+      ELSE [list_min(hs)] END AS sels
+  FROM h
+)
+SELECT doc_id, unnest(list_distinct(sels)) AS fingerprint FROM sel
+"""
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """CCNet cross-document paragraph dedup (functions/dedupe.py
     paragraph_dedup) over the same 8-doc pages: corpus-wide
@@ -1900,6 +1937,7 @@ FROM r GROUP BY page_id
 
 TRAINING_QUERIES = {
     "c4_clean": q_c4_clean,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "paragraph_dedup": q_paragraph_dedup,
     "lm_score_docs": q_lm_score,
     "dsir_select": q_dsir_select,
@@ -1946,6 +1984,7 @@ TRAINING_QUERIES = {
 
 TRAINING_ORACLES = {
     "c4_clean": O_C4_CLEAN,
+    "winnow_fingerprints": O_WINNOW_FINGERPRINTS,
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "lm_score_docs": O_LM_SCORE,
     "dsir_select": O_DSIR,

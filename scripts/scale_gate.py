@@ -285,6 +285,13 @@ def main() -> None:
                 True,
             ),
             ("shard_shuffle", tc.q_shard_shuffle, True),
+            # round-5 line/paragraph-granularity ops: c4_clean's line rules
+            # live in the scan stage (1 exchange total); paragraph_dedup's
+            # first-occurrence window runs on the uniform paragraph digest
+            # (2 exchanges). forced — the md5 reassembly columns would be
+            # pruned under count().
+            ("c4_clean", tc.q_c4_clean, True),
+            ("paragraph_dedup", tc.q_paragraph_dedup, True),
         ):
             gid = f"{name}_10x"
             sc.setJobGroup(gid, f"{name} at 10x docs")

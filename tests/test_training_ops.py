@@ -661,3 +661,48 @@ def test_paragraph_dedup_order_is_page_then_idx(spark):
     df = spark.createDataFrame(rows, ["page_id", "line_idx", "line"])
     out = {(r.page_id): r for r in dedupe.paragraph_dedup(df).collect()}
     assert out[2].n_kept == 1 and out[9].n_kept == 0
+
+
+def test_winnowing_guarantee_and_values(spark):
+    # Winnowing guarantee: substring matches of length >= w + n - 1
+    # (= 11 chars with n=8, w=4) share at least one fingerprint.
+    shared = "the copied passage lives here"
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "different lead-in " + shared + " and another tail"),
+        (3, "nothing in common with the others at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = df.select(
+        "doc_id",
+        F.explode(
+            text_fns.winnow_fingerprints(F.col("text"), base_hash="md5_48")
+        ).alias("fp"),
+    )
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2]  # shared passage -> shared fingerprint
+    # doc 3 overlap with 1 or 2 should be far smaller than the 1-2 overlap
+    assert len(fps[1] & fps[2]) > len(fps[1] & fps[3])
+    # selected values are window minima of the gram-hash sequence
+    import hashlib
+
+    def md5_48(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    text = rows[0][1]
+    hs = [md5_48(text[i : i + 8]) for i in range(len(text) - 7)]
+    expect = sorted({min(hs[i : i + 4]) for i in range(len(hs) - 3)})
+    assert sorted(fps[1]) == expect
+
+
+def test_winnow_short_doc_degrades_to_global_min(spark):
+    df = spark.createDataFrame([(1, "tiny doc")], ["doc_id", "text"])  # 8 chars, 1 gram
+    out = df.select(
+        text_fns.winnow_fingerprints(F.col("text"), base_hash="md5_48").alias("fps")
+    ).collect()
+    import hashlib
+
+    exp = int(hashlib.md5(b"tiny doc").hexdigest()[:12], 16)
+    assert out[0].fps == [exp]
