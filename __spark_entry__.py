@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean",
         "paragraph_dedup",
         "winnow_fingerprints",
+        "ccnet_buckets",
         "histogram_cumulative_to_delta",
         "histogram_delta_to_cumulative",
         "decontaminate_bloom",

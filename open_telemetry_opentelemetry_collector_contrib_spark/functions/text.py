@@ -757,6 +757,80 @@ def lm_score_docs(
     )
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    train_lang: str = "en",
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing (arXiv:1911.00359 §3.2): CCNet
+    splits each language's corpus into thirds by perplexity under the
+    reference LM — *head* reads most like the reference distribution,
+    *tail* least — and downstream mixes sample by bucket. Our analog
+    buckets by the ``lm_score_docs`` mean-probability surrogate (higher =
+    more in-distribution, so head = TOP tercile), with per-lang tercile
+    thresholds as exact discrete order statistics: ``t_tail`` = the
+    ceil(n/3)-th and ``t_mid`` = the ceil(2n/3)-th smallest per-doc score.
+    Docs with no bigram evidence get bucket 'none' (CCNet's length
+    prefilter drops them before bucketing).
+
+    Scale design — the same counting-sort shape as the route-latency
+    quantiles: thresholds come from ``groupBy(lang, score).count()`` (map-
+    side combined, fully parallel) + a cumulative sum over the TINY per-
+    lang score histogram — never a ``Window.partitionBy(lang)`` sort over
+    raw rows, which would funnel each language's whole corpus through one
+    task. Threshold table is langs-sized and broadcast back. Corpus
+    quantile + apply is inherently two passes over the scored frame; the
+    per-doc sum exchange inside ``lm_score_docs`` is identical in both
+    subtrees so Spark's ReuseExchange collapses it. All arithmetic is
+    integer (score = ``p_sum_ppb DIV n_bigrams``, DuckDB ``//`` parity;
+    both non-negative so floor == trunc).
+
+    Output: (doc_id, lang, score_ppb nullable, bucket head|middle|tail|none).
+    """
+    from pyspark.sql import Window
+
+    scored = lm_score_docs(df, doc_id_col, text_col, lang_col, train_lang)
+    s = scored.select(
+        doc_id_col,
+        lang_col,
+        F.when(
+            F.col("n_bigrams") > 0, F.expr("p_sum_ppb DIV n_bigrams")
+        ).alias("score_ppb"),
+    )
+    hist = (
+        s.filter(F.col("score_ppb").isNotNull())
+        .groupBy(lang_col, "score_ppb")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = hist.groupBy(lang_col).agg(F.sum("c").alias("n"))
+    wcum = Window.partitionBy(lang_col).orderBy("score_ppb")
+    cum = hist.join(F.broadcast(totals), lang_col).withColumn(
+        "cum", F.sum("c").over(wcum)
+    )
+    th = cum.groupBy(lang_col).agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 2) DIV 3"), F.col("score_ppb"))
+        ).alias("t_tail"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(2 * n + 2) DIV 3"), F.col("score_ppb")
+            )
+        ).alias("t_mid"),
+    )
+    return s.join(F.broadcast(th), lang_col, "left").select(
+        doc_id_col,
+        lang_col,
+        F.col("score_ppb").cast("bigint").alias("score_ppb"),
+        F.when(F.col("score_ppb").isNull(), "none")
+        .when(F.col("score_ppb") <= F.col("t_tail"), "tail")
+        .when(F.col("score_ppb") <= F.col("t_mid"), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+    )
+
+
 def dsir_select(
     df: DataFrame,
     doc_id_col: str = "doc_id",

@@ -1535,6 +1535,50 @@ FROM documents d LEFT JOIN sums s USING (doc_id)
 """
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (functions/text.py
+    ccnet_buckets): per-lang tercile thresholds over the lm_score mean-
+    probability surrogate as exact discrete order statistics via the
+    counting-sort pattern (tiny per-lang score histogram + cumulative
+    sum — never a per-lang sort over raw rows), thresholds broadcast
+    back onto the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_fns.ccnet_buckets(docs)
+
+
+# shares the full O_LM_SCORE CTE chain, then the counting-sort terciles
+O_CCNET_BUCKETS = (
+    O_LM_SCORE[: O_LM_SCORE.rindex("SELECT d.doc_id")]
+    + r"""
+, sc AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN coalesce(s.n_bigrams, 0) > 0
+              THEN s.p_sum_ppb // s.n_bigrams END AS score_ppb
+  FROM documents d LEFT JOIN sums s USING (doc_id)
+), hist AS (
+  SELECT lang, score_ppb, count(*) AS c
+  FROM sc WHERE score_ppb IS NOT NULL GROUP BY 1, 2
+), cum AS (
+  SELECT lang, score_ppb,
+         sum(c) OVER (PARTITION BY lang ORDER BY score_ppb) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+), th AS (
+  SELECT lang,
+         min(CASE WHEN cum >= (n + 2) // 3 THEN score_ppb END) AS t_tail,
+         min(CASE WHEN cum >= (2 * n + 2) // 3 THEN score_ppb END) AS t_mid
+  FROM cum GROUP BY lang
+)
+SELECT sc.doc_id, sc.lang, CAST(sc.score_ppb AS BIGINT) AS score_ppb,
+  CASE WHEN sc.score_ppb IS NULL THEN 'none'
+       WHEN sc.score_ppb <= th.t_tail THEN 'tail'
+       WHEN sc.score_ppb <= th.t_mid THEN 'middle'
+       ELSE 'head' END AS bucket
+FROM sc LEFT JOIN th USING (lang)
+"""
+)
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR hashed-ngram importance selection (functions/text.py
     dsir_select): target = lang='en', raw = whole corpus, 4096 md5-48
@@ -1940,6 +1984,7 @@ TRAINING_QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "paragraph_dedup": q_paragraph_dedup,
     "lm_score_docs": q_lm_score,
+    "ccnet_buckets": q_ccnet_buckets,
     "dsir_select": q_dsir_select,
     "shard_shuffle": q_shard_shuffle,
     "dataset_manifest": q_dataset_manifest,
@@ -1987,6 +2032,7 @@ TRAINING_ORACLES = {
     "winnow_fingerprints": O_WINNOW_FINGERPRINTS,
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "lm_score_docs": O_LM_SCORE,
+    "ccnet_buckets": O_CCNET_BUCKETS,
     "dsir_select": O_DSIR,
     "shard_shuffle": O_SHARD_SHUFFLE,
     "dataset_manifest": O_DATASET_MANIFEST,

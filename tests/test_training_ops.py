@@ -706,3 +706,28 @@ def test_winnow_short_doc_degrades_to_global_min(spark):
 
     exp = int(hashlib.md5(b"tiny doc").hexdigest()[:12], 16)
     assert out[0].fps == [exp]
+
+
+def test_ccnet_buckets_terciles_and_none(spark):
+    # 9 'en' docs engineered to produce a clean score order: docs built
+    # from the training distribution score high; alien-token docs score
+    # the OOV floor. One 1-token doc has no bigram evidence -> 'none'.
+    common = "alpha beta alpha beta alpha beta"
+    rows = [(i, common, "en") for i in range(1, 4)]  # pure in-dist -> head
+    rows += [(i, common + " gamma delta", "en") for i in range(4, 7)]  # mixed
+    rows += [(i, "zz qq vv ww xx yy", "en") for i in range(7, 10)]  # alien
+    rows += [(10, "solo", "en")]  # 1 token -> no bigrams -> 'none'
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in text_fns.ccnet_buckets(df).collect()}
+    assert out[10].bucket == "none" and out[10].score_ppb is None
+    assert all(out[i].bucket == "head" for i in (1, 2, 3))
+    assert all(out[i].bucket == "middle" for i in (4, 5, 6))
+    assert all(out[i].bucket == "tail" for i in (7, 8, 9))
+    # thresholds are per-language: a lone other-lang doc is its own
+    # tercile boundary (cum=1 >= ceil(1/3)=1 -> its score is t_tail)
+    df2 = df.union(spark.createDataFrame([(11, "uno dos tres", "es")], df.columns))
+    out2 = {r.doc_id: r for r in text_fns.ccnet_buckets(df2).collect()}
+    assert out2[11].bucket == "tail"
+    assert {i: out2[i].bucket for i in range(1, 10)} == {
+        i: out[i].bucket for i in range(1, 10)
+    }
