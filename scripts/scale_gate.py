@@ -292,6 +292,11 @@ def main() -> None:
             # pruned under count().
             ("c4_clean", tc.q_c4_clean, True),
             ("paragraph_dedup", tc.q_paragraph_dedup, True),
+            # broadcast-LM scoring + per-lang counting-sort terciles; the
+            # corpus-scale exchanges are the per-doc bigram sum (twice —
+            # quantile+apply is inherently two passes) and the tiny
+            # (lang, score) histogram groupBy
+            ("ccnet_buckets", tc.q_ccnet_buckets, True),
         ):
             gid = f"{name}_10x"
             sc.setJobGroup(gid, f"{name} at 10x docs")
