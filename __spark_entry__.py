@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup",
         "winnow_fingerprints",
         "ccnet_buckets",
+        "unimax_mix",
         "histogram_cumulative_to_delta",
         "histogram_delta_to_cumulative",
         "decontaminate_bloom",

@@ -184,6 +184,116 @@ def temperature_sample(
     )
 
 
+def unimax_mix(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    epochs_cap: int = 2,
+    budget_num: int = 3,
+    budget_den: int = 2,
+    seed: str = "umax7",
+) -> DataFrame:
+    """UniMax language-balanced sampling (arXiv:2304.09151): spread a total
+    token budget as UNIFORMLY as possible across languages, capping every
+    language at ``epochs_cap`` epochs of its own data — the paper's
+    alternative to temperature sampling that never over-repeats
+    low-resource languages. Budget = ``total_tokens * budget_num DIV
+    budget_den`` — default 1.5 epochs of the corpus, the regime UniMax is
+    built for (budget above one epoch): low-resource languages saturate
+    at exactly ``epochs_cap`` epochs and the high-resource tail absorbs
+    the remainder below its cap. Self-contained and deterministic at any
+    scale.
+
+    The paper's iterative allocator has a closed form — waterfilling: sort
+    languages by cap ``c_l = epochs_cap * n_l`` ascending; a language
+    SATURATES (gets its full cap) iff ``c_l * (L - rank + 1) <= budget -
+    cum_before`` (its cap is below the fair share of the budget left for
+    it and every larger language); the predicate is monotone along the
+    sorted order, and the non-saturating languages split the remainder
+    evenly, ``(budget - sat_caps) DIV (L - k)``. Expressed as window
+    functions over the L-row language table — no driver-side loop, no
+    collect. The global (unpartitioned) window is on L rows, not the
+    corpus.
+
+    Doc grain: ``repeat_cnt = alloc DIV n_l`` full epochs for every doc,
+    plus one extra epoch for the hash-selected fraction: doc joins the
+    fractional epoch iff ``h * n_l < frac_tokens * M`` with ``h =
+    md5_48(seed||id) % M`` — exact integer cross-multiplication, no float
+    rate, engine-portable, resume-stable, and token-unbiased in
+    expectation (the hash is independent of doc length). All arithmetic
+    bigint; DuckDB ``//`` parity for every DIV.
+
+    Shuffle shape: one map-side-combined groupBy(lang) (L rows out), the
+    L-row waterfilling, then the allocation broadcast back onto the
+    corpus — the corpus itself never shuffles.
+
+    Output: (doc_id, lang, doc_tokens, alloc_tokens, repeat_cnt).
+    """
+    from pyspark.sql import Window
+
+    m = 10_000
+    toks = token_count(F.col(text_col))
+    docs = df.select(F.col(id_col), F.col(lang_col), toks.alias("doc_tokens"))
+    langs = docs.groupBy(lang_col).agg(F.sum("doc_tokens").alias("n_tok"))
+    total = langs.agg(
+        F.sum("n_tok").alias("tot"), F.count("*").alias("nl")
+    )
+    w = Window.orderBy(F.col("cap").asc(), F.col(lang_col).asc())
+    lt = (
+        langs.withColumn("cap", F.lit(int(epochs_cap)) * F.col("n_tok"))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "budget", F.expr(f"tot * {int(budget_num)} DIV {int(budget_den)}")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cum", F.sum("cap").over(w))
+        .withColumn(
+            "sat",
+            F.col("cap") * (F.col("nl") - F.col("rn") + 1)
+            <= F.col("budget") - (F.col("cum") - F.col("cap")),
+        )
+    )
+    ksum = lt.agg(
+        F.sum(F.when(F.col("sat"), 1).otherwise(0)).alias("k"),
+        F.sum(F.when(F.col("sat"), F.col("cap")).otherwise(0)).alias("satcaps"),
+    )
+    alloc = (
+        lt.crossJoin(F.broadcast(ksum))
+        .withColumn(
+            "alloc_tokens",
+            F.when(F.col("sat"), F.col("cap")).otherwise(
+                F.expr("(budget - satcaps) DIV (nl - k)")
+            ),
+        )
+        .select(lang_col, "n_tok", "alloc_tokens")
+    )
+    h = F.pmod(
+        md5_48(F.concat(F.lit(seed), F.col(id_col).cast("string"))), F.lit(m)
+    )
+    return (
+        docs.join(F.broadcast(alloc), lang_col)
+        .withColumn("full_epochs", F.expr("alloc_tokens DIV n_tok"))
+        .withColumn(
+            "extra",
+            (
+                h * F.col("n_tok")
+                < (F.col("alloc_tokens") - F.col("full_epochs") * F.col("n_tok"))
+                * F.lit(m)
+            ).cast("long"),
+        )
+        .select(
+            id_col,
+            lang_col,
+            F.col("doc_tokens").cast("bigint").alias("doc_tokens"),
+            F.col("alloc_tokens").cast("bigint").alias("alloc_tokens"),
+            (F.col("full_epochs") + F.col("extra"))
+            .cast("bigint")
+            .alias("repeat_cnt"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

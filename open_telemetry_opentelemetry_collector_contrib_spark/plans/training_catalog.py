@@ -1226,6 +1226,60 @@ WHERE h * h * n < 25000000 * n_max
 """
 
 
+def q_unimax_mix(spark, sf_dir):
+    """UniMax language-balanced allocation (functions/packing.py
+    unimax_mix): waterfilling over the per-lang token table as window
+    functions (closed form of the paper's iterative allocator — no driver
+    loop), epochs_cap=2, budget = 3*total_tokens DIV 2 (1.5 epochs), per-doc repeat
+    counts with the exact-integer fractional-epoch hash rule. The corpus
+    never shuffles: one tiny groupBy(lang), an L-row window, broadcast
+    join back."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.unimax_mix(docs)
+
+
+_UMAX_HX = _HX.format(s="'umax7' || CAST(doc_id AS VARCHAR)")
+
+O_UNIMAX = f"""
+WITH docs AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+           AS doc_tokens
+  FROM documents
+), langs AS (
+  SELECT lang, sum(doc_tokens) AS n_tok FROM docs GROUP BY lang
+), tot AS (
+  SELECT sum(n_tok) AS tot, count(*) AS nl FROM langs
+), lt AS (
+  SELECT lang, n_tok, 2 * n_tok AS cap, t.tot * 3 // 2 AS budget, t.nl,
+         row_number() OVER (ORDER BY 2 * n_tok, lang) AS rn,
+         sum(2 * n_tok) OVER (ORDER BY 2 * n_tok, lang
+                              ROWS UNBOUNDED PRECEDING) AS cum
+  FROM langs CROSS JOIN tot t
+), sat AS (
+  SELECT *, cap * (nl - rn + 1) <= budget - (cum - cap) AS is_sat FROM lt
+), ks AS (
+  SELECT sum(CASE WHEN is_sat THEN 1 ELSE 0 END) AS k,
+         sum(CASE WHEN is_sat THEN cap ELSE 0 END) AS satcaps
+  FROM sat
+), alloc AS (
+  SELECT lang, n_tok,
+         CASE WHEN is_sat THEN cap
+              ELSE (budget - satcaps) // (nl - k) END AS alloc_tokens
+  FROM sat CROSS JOIN ks
+)
+SELECT d.doc_id, d.lang, d.doc_tokens,
+  CAST(a.alloc_tokens AS BIGINT) AS alloc_tokens,
+  CAST(a.alloc_tokens // a.n_tok
+       + CASE WHEN ({_UMAX_HX}) % 10000 * a.n_tok
+                   < (a.alloc_tokens - a.alloc_tokens // a.n_tok * a.n_tok)
+                     * 10000
+              THEN 1 ELSE 0 END AS BIGINT) AS repeat_cnt
+FROM docs d JOIN alloc a USING (lang)
+"""
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic hash-threshold train/val/test assignment (5%/5%) —
     leak-free by construction (split is a pure function of doc_id), no
@@ -1985,6 +2039,7 @@ TRAINING_QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "lm_score_docs": q_lm_score,
     "ccnet_buckets": q_ccnet_buckets,
+    "unimax_mix": q_unimax_mix,
     "dsir_select": q_dsir_select,
     "shard_shuffle": q_shard_shuffle,
     "dataset_manifest": q_dataset_manifest,
@@ -2033,6 +2088,7 @@ TRAINING_ORACLES = {
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "lm_score_docs": O_LM_SCORE,
     "ccnet_buckets": O_CCNET_BUCKETS,
+    "unimax_mix": O_UNIMAX,
     "dsir_select": O_DSIR,
     "shard_shuffle": O_SHARD_SHUFFLE,
     "dataset_manifest": O_DATASET_MANIFEST,

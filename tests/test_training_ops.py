@@ -731,3 +731,37 @@ def test_ccnet_buckets_terciles_and_none(spark):
     assert {i: out2[i].bucket for i in range(1, 10)} == {
         i: out[i].bucket for i in range(1, 10)
     }
+
+
+def test_unimax_waterfilling_saturates_small_langs(spark):
+    from open_telemetry_opentelemetry_collector_contrib_spark.functions import packing
+
+    # en: 4 docs x 10 tokens = 40; xx: 1 doc x 10; yy: 1 doc x 10.
+    # budget = 1.5 * 60 = 90; caps = (80, 20, 20). Waterfilling sorted by
+    # cap: xx cap 20 <= (90 - 0)/3 -> sat; yy cap 20 <= (90-20)/2 -> sat;
+    # en: 80 > 90-40 -> uncapped, alloc = 50.
+    ten = " ".join(["w%d" % i for i in range(10)])
+    rows = [(i, ten, "en") for i in range(1, 5)]
+    rows += [(5, ten, "xx"), (6, ten, "yy")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in packing.unimax_mix(df).collect()}
+    assert out[5].alloc_tokens == 20 and out[5].repeat_cnt == 2
+    assert out[6].alloc_tokens == 20 and out[6].repeat_cnt == 2
+    assert out[1].alloc_tokens == 50
+    # en: 1 full epoch (40) + 10-token fractional epoch -> each doc
+    # repeats 1 or 2 times; total expected extra = hash-selected subset
+    reps = sorted(out[i].repeat_cnt for i in range(1, 5))
+    assert reps[0] >= 1 and reps[-1] <= 2
+
+
+def test_unimax_all_langs_saturate_when_budget_exceeds_caps(spark):
+    from open_telemetry_opentelemetry_collector_contrib_spark.functions import packing
+
+    ten = " ".join(["w%d" % i for i in range(10)])
+    df = spark.createDataFrame(
+        [(1, ten, "aa"), (2, ten, "bb")], ["doc_id", "text", "lang"]
+    )
+    # budget = 5x total = 100 > sum caps (40): everyone saturates at the
+    # 2-epoch cap, remainder intentionally unspent (the paper's contract)
+    out = packing.unimax_mix(df, budget_num=5, budget_den=1).collect()
+    assert all(r.alloc_tokens == 20 and r.repeat_cnt == 2 for r in out)
