@@ -781,9 +781,14 @@ def ccnet_buckets(
     lang score histogram — never a ``Window.partitionBy(lang)`` sort over
     raw rows, which would funnel each language's whole corpus through one
     task. Threshold table is langs-sized and broadcast back. Corpus
-    quantile + apply is inherently two passes over the scored frame; the
-    per-doc sum exchange inside ``lm_score_docs`` is identical in both
-    subtrees so Spark's ReuseExchange collapses it. All arithmetic is
+    quantile + apply is inherently two passes over the scored frame (the
+    threshold side prunes to (lang, score), so the two scoring subtrees
+    canonicalize differently and exchange reuse does NOT fire — verified
+    against the executed plan; the 500k-doc gate run records the honest
+    cost: two scans, ~19 MB total shuffle). A cluster job that also
+    materializes per-doc scores should compute ``lm_score_docs`` once to
+    a table and bucket over that, making the second pass a re-scan.
+    All arithmetic is
     integer (score = ``p_sum_ppb DIV n_bigrams``, DuckDB ``//`` parity;
     both non-negative so floor == trunc).
 
