@@ -236,13 +236,18 @@ def unimax_mix(
     toks = token_count(F.col(text_col))
     docs = df.select(F.col(id_col), F.col(lang_col), toks.alias("doc_tokens"))
     langs = docs.groupBy(lang_col).agg(F.sum("doc_tokens").alias("n_tok"))
-    total = langs.agg(
-        F.sum("n_tok").alias("tot"), F.count("*").alias("nl")
-    )
+    # every scalar (total, L, k, satcaps) is an unpartitioned window over
+    # the SAME L-row frame rather than a separate .agg() branch — separate
+    # branches each re-derive `langs` from the corpus (Catalyst does not
+    # dedupe the subtrees once column pruning specializes the scans), which
+    # costs one extra full corpus scan per branch at 100 TB. This way the
+    # corpus is scanned exactly twice: stats and the final apply join.
+    wall = Window.partitionBy()
     w = Window.orderBy(F.col("cap").asc(), F.col(lang_col).asc())
     lt = (
         langs.withColumn("cap", F.lit(int(epochs_cap)) * F.col("n_tok"))
-        .crossJoin(F.broadcast(total))
+        .withColumn("tot", F.sum("n_tok").over(wall))
+        .withColumn("nl", F.count(F.lit(1)).over(wall))
         .withColumn(
             "budget", F.expr(f"tot * {int(budget_num)} DIV {int(budget_den)}")
         )
@@ -253,20 +258,20 @@ def unimax_mix(
             F.col("cap") * (F.col("nl") - F.col("rn") + 1)
             <= F.col("budget") - (F.col("cum") - F.col("cap")),
         )
-    )
-    ksum = lt.agg(
-        F.sum(F.when(F.col("sat"), 1).otherwise(0)).alias("k"),
-        F.sum(F.when(F.col("sat"), F.col("cap")).otherwise(0)).alias("satcaps"),
-    )
-    alloc = (
-        lt.crossJoin(F.broadcast(ksum))
         .withColumn(
-            "alloc_tokens",
-            F.when(F.col("sat"), F.col("cap")).otherwise(
-                F.expr("(budget - satcaps) DIV (nl - k)")
-            ),
+            "k", F.sum(F.when(F.col("sat"), 1).otherwise(0)).over(wall)
         )
-        .select(lang_col, "n_tok", "alloc_tokens")
+        .withColumn(
+            "satcaps",
+            F.sum(F.when(F.col("sat"), F.col("cap")).otherwise(0)).over(wall),
+        )
+    )
+    alloc = lt.select(
+        lang_col,
+        "n_tok",
+        F.when(F.col("sat"), F.col("cap"))
+        .otherwise(F.expr("(budget - satcaps) DIV (nl - k)"))
+        .alias("alloc_tokens"),
     )
     h = F.pmod(
         md5_48(F.concat(F.lit(seed), F.col(id_col).cast("string"))), F.lit(m)
