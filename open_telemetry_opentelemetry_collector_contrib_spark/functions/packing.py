@@ -168,12 +168,18 @@ def temperature_sample(
     Shuffle shape: one map-side-combined groupBy(source) for the counts
     (few rows), broadcast back; the corpus side is a pure filter.
     """
+    from pyspark.sql import Window
+
     m = 10_000
     b = int(base_rate * m)
-    stats = df.groupBy(source_col).agg(F.count("*").cast("long").alias("_n"))
-    stats = stats.crossJoin(
-        F.broadcast(stats.groupBy().agg(F.max("_n").alias("_n_max")))
-    )
+    # n_max as an unpartitioned window over the S-row stats frame, NOT a
+    # separate stats.agg() branch — the agg branch re-derives stats from
+    # the corpus (no subtree dedup once pruning specializes the scans),
+    # costing a full extra corpus scan at 100 TB. Window form: 2 scans
+    # total (stats + the filter apply).
+    stats = df.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("_n")
+    ).withColumn("_n_max", F.max("_n").over(Window.partitionBy()))
     h = F.pmod(
         md5_48(F.concat(F.lit(seed), F.col(id_col).cast("string"))), F.lit(m)
     )
