@@ -638,6 +638,58 @@ def chunk_documents(
     )
 
 
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", top_k: int = 50) -> DataFrame:
+    """BPE merge-pair statistics (Sennrich, Haddow & Birch 2016,
+    arXiv:1508.07909 §3.2): the first byte-pair-encoding training
+    iteration — count adjacent symbol pairs across the corpus (symbols =
+    characters plus the ``</w>`` end-of-word marker), weighted by word
+    frequency; the most frequent pair is the first merge. Returns the
+    ``top_k`` (pair, cnt) rows under the deterministic total order
+    (cnt desc, pair asc), so the selected set is identical cross-engine
+    even with count ties at the cutoff.
+
+    Scale design — the reason this is cheap at 100 TB: pair statistics
+    are a function of the (word, freq) VOCABULARY, not the raw corpus, so
+    the character explosion runs on the V-row vocab table. The only
+    corpus-scale exchange is the map-side-combined word-count groupBy;
+    the top-k compiles to TakeOrderedAndProject over the pair-vocab-sized
+    counts (never a global row sort).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    wcol = F.col("w")
+    syms = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length(wcol)),
+            lambda i: wcol.substr(i, F.lit(1)),
+        ),
+        F.array(F.lit("</w>")),
+    )
+    svocab = vocab.select("freq", syms.alias("s"))
+    n = F.size("s")
+    # adjacent pairs via arrays_zip of two shifted slices (the fast
+    # formulation — see lm_score_docs for the 18x measurement); n >= 2
+    # always holds (one char + marker)
+    pairs = F.arrays_zip(
+        F.slice(F.col("s"), 1, n - 1).alias("a"),
+        F.slice(F.col("s"), 2, n - 1).alias("b"),
+    )
+    return (
+        svocab.select("freq", F.explode(pairs).alias("g"))
+        .select("freq", F.concat_ws(" ", "g.a", "g.b").alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )
+
+
 def lm_score_docs(
     df: DataFrame,
     doc_id_col: str = "doc_id",

@@ -1226,6 +1226,37 @@ WHERE h * h * n < 25000000 * n_max
 """
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """BPE first-iteration merge-pair counts (functions/text.py
+    bpe_pair_counts): char+</w> symbol pairs weighted by word frequency,
+    top-50 under (cnt desc, pair asc). The char explosion runs on the
+    vocab table, not the corpus; the only corpus-scale exchange is the
+    word-count groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_fns.bpe_pair_counts(docs)
+
+
+O_BPE_PAIRS = r"""
+WITH words AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, count(*) AS freq FROM words GROUP BY w
+), syms AS (
+  SELECT freq,
+         list_append([w[i] for i in range(1, length(w) + 1)], '</w>') AS s
+  FROM vocab
+), pr AS (
+  SELECT freq, unnest([s[i] || ' ' || s[i + 1] for i in range(1, len(s))]) AS pair
+  FROM syms
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+FROM pr GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT 50
+"""
+
+
 def q_unimax_mix(spark, sf_dir):
     """UniMax language-balanced allocation (functions/packing.py
     unimax_mix): waterfilling over the per-lang token table as window
@@ -2040,6 +2071,7 @@ TRAINING_QUERIES = {
     "lm_score_docs": q_lm_score,
     "ccnet_buckets": q_ccnet_buckets,
     "unimax_mix": q_unimax_mix,
+    "bpe_pair_counts": q_bpe_pairs,
     "dsir_select": q_dsir_select,
     "shard_shuffle": q_shard_shuffle,
     "dataset_manifest": q_dataset_manifest,
@@ -2089,6 +2121,7 @@ TRAINING_ORACLES = {
     "lm_score_docs": O_LM_SCORE,
     "ccnet_buckets": O_CCNET_BUCKETS,
     "unimax_mix": O_UNIMAX,
+    "bpe_pair_counts": O_BPE_PAIRS,
     "dsir_select": O_DSIR,
     "shard_shuffle": O_SHARD_SHUFFLE,
     "dataset_manifest": O_DATASET_MANIFEST,

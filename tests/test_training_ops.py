@@ -765,3 +765,15 @@ def test_unimax_all_langs_saturate_when_budget_exceeds_caps(spark):
     # 2-epoch cap, remainder intentionally unspent (the paper's contract)
     out = packing.unimax_mix(df, budget_num=5, budget_den=1).collect()
     assert all(r.alloc_tokens == 20 and r.repeat_cnt == 2 for r in out)
+
+
+def test_bpe_pair_counts_first_merge(spark):
+    # 'aaab' x3 + 'ab' x1: pairs per 'aaab' = (a a),(a a),(a b),(b </w>);
+    # per 'ab' = (a b),(b </w>). Weighted: (a a)=6, (a b)=4, (b </w>)=4.
+    df = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "aaab ab")], ["doc_id", "text"]
+    )
+    rows = text_fns.bpe_pair_counts(df, top_k=3).collect()
+    assert (rows[0].pair, rows[0].cnt) == ("a a", 6)
+    # tie between 'a b' and 'b </w>' broken by pair asc
+    assert [(r.pair, r.cnt) for r in rows[1:]] == [("a b", 4), ("b </w>", 4)]
