@@ -777,3 +777,81 @@ def test_bpe_pair_counts_first_merge(spark):
     assert (rows[0].pair, rows[0].cnt) == ("a a", 6)
     # tie between 'a b' and 'b </w>' broken by pair asc
     assert [(r.pair, r.cnt) for r in rows[1:]] == [("a b", 4), ("b </w>", 4)]
+
+
+def test_unimax_invariants_random_corpora(spark):
+    """Property check over randomized corpora: every language's allocation
+    respects its epoch cap, saturated languages sit exactly at the cap,
+    unallocated budget only exists when everyone saturated, and repeat
+    counts never exceed epochs_cap (hash extras included)."""
+    import random
+
+    from open_telemetry_opentelemetry_collector_contrib_spark.functions import packing
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        rows = []
+        did = 0
+        for li in range(rng.randint(2, 6)):
+            lang = f"l{li}"
+            for _ in range(rng.randint(1, 8)):
+                did += 1
+                rows.append(
+                    (did, " ".join("w%d" % i for i in range(rng.randint(1, 30))), lang)
+                )
+        df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+        num, den = rng.choice([(1, 2), (3, 2), (2, 1), (5, 1)])
+        out = packing.unimax_mix(df, budget_num=num, budget_den=den).collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r.lang, []).append(r)
+        tot = sum(r.doc_tokens for r in out)
+        budget = tot * num // den
+        alloc_sum = 0
+        for lang, rs in by_lang.items():
+            n_tok = sum(r.doc_tokens for r in rs)
+            alloc = rs[0].alloc_tokens
+            assert all(r.alloc_tokens == alloc for r in rs)
+            assert 0 <= alloc <= 2 * n_tok  # never above the epoch cap
+            assert all(0 <= r.repeat_cnt <= 2 for r in rs)
+            # full epochs consistent with alloc
+            assert all(r.repeat_cnt >= alloc // n_tok for r in rs)
+            alloc_sum += alloc
+        # total allocation never exceeds the budget; it only undershoots
+        # by more than the integer-division slack when every lang is capped
+        assert alloc_sum <= budget
+        n_langs = len(by_lang)
+        all_capped = all(
+            rs[0].alloc_tokens == 2 * sum(r.doc_tokens for r in rs)
+            for rs in by_lang.values()
+        )
+        if not all_capped:
+            assert budget - alloc_sum < n_langs  # only DIV remainder left
+
+
+def test_winnow_guarantee_random_substring_shares(spark):
+    """Winnowing guarantee on randomized docs: a shared substring of
+    length >= w + n - 1 (= 11) always yields a shared fingerprint."""
+    import random
+
+    rng = random.Random(99)
+    alpha = "abcdefghij "
+    rows = []
+    for i in range(1, 9):
+        shared = "".join(rng.choice(alpha) for _ in range(rng.randint(11, 25)))
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30))) + shared
+        b = shared + "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        rows.append((2 * i, a))
+        rows.append((2 * i + 1, b))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = df.select(
+        "doc_id",
+        F.explode(
+            text_fns.winnow_fingerprints(F.col("text"), base_hash="md5_48")
+        ).alias("fp"),
+    ).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    for i in range(1, 9):
+        assert fps[2 * i] & fps[2 * i + 1], f"pair {i} shares no fingerprint"
