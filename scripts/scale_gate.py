@@ -297,6 +297,12 @@ def main() -> None:
             # quantile+apply is inherently two passes) and the tiny
             # (lang, score) histogram groupBy
             ("ccnet_buckets", tc.q_ccnet_buckets, True),
+            # unimax: corpus scanned exactly twice (stats + apply), all
+            # scalars as windows over the L-row lang table; bpe: the char
+            # explosion runs on the vocab table, corpus-scale work is one
+            # map-side-combined word groupBy + TakeOrdered top-k
+            ("unimax_mix", tc.q_unimax_mix, True),
+            ("bpe_pair_counts", tc.q_bpe_pairs, True),
         ):
             gid = f"{name}_10x"
             sc.setJobGroup(gid, f"{name} at 10x docs")
