@@ -95,14 +95,28 @@ def suppress_boilerplate_turns(
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of distinct word n-grams."""
+    """Array of distinct word n-grams.
+
+    The split result is BOUND as an HOF lambda variable (single-element
+    array transform, same trick as winnow_fingerprints) before the
+    per-shingle loop: higher-order functions are CodegenFallback with no
+    subexpression elimination, so a lambda referencing ``split()`` directly
+    re-runs the regex split once per shingle element — measured 4.2 s vs
+    0.4 s for the 270k-shingle explode at sf0.1 (r6 audit; same lesson as
+    lm_score_docs' token materialization)."""
     words = F.split(F.trim(text), r"\s+")
-    k = F.size(words) - (n - 1)
-    grams = F.when(
-        k >= 1,
-        F.transform(F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(words, i, n), " ")),
-    ).otherwise(F.array(F.array_join(words, " ")))
-    return F.array_distinct(grams)
+
+    def build(ws: Column) -> Column:
+        k = F.size(ws) - (n - 1)
+        grams = F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(ws, i, n), " ")
+            ),
+        ).otherwise(F.array(F.array_join(ws, " ")))
+        return F.array_distinct(grams)
+
+    return F.transform(F.array(words), build)[0]
 
 
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
@@ -121,32 +135,61 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
 ) -> DataFrame:
-    """Candidate pairs with exact Jaccard >= threshold via shingle self-join.
+    """Candidate pairs with exact Jaccard >= threshold via shingle grouping.
 
-    Scale: the self-join key is the shingle; hot shingles (boilerplate) are
-    dropped above ``max_shingle_freq`` — the standard frequency cap that
-    bounds per-key join fan-out to max_freq^2 and removes the skew that would
-    otherwise dominate at 100 TB. Jaccard is surfaced in millionths (BIGINT).
+    Scale: hot shingles (boilerplate) are dropped above ``max_shingle_freq``
+    — the standard frequency cap that bounds per-key pair fan-out to
+    max_freq^2 and removes the skew that would otherwise dominate at 100 TB.
+    Jaccard is surfaced in millionths (BIGINT).
+
+    Shape (r6 rewrite, guide §2.4): the corpus is shingled and exploded
+    exactly ONCE. The old freq-aggregate + filter-join + a/b self-join
+    evaluated the shingle subtree four times (freq, join probe, and both
+    self-join sides — Spark has no DataFrame-subtree CSE once pruning
+    specializes the scans) and shuffled it three times. Now the frequency
+    cap is a count window over the shingle-partitioned exchange — the same
+    exchange the pair grouping needs, so one corpus shuffle total — and
+    pairs are generated WITHIN each surviving shingle group from the
+    id-sorted member list (bounded by the cap, so the collected group is
+    <= max_shingle_freq structs; rows above the cap are filtered before
+    the list aggregation ever sees them). Second (final) exchange: the
+    per-pair common-count aggregation. 4 subtree evals -> 1, 3 corpus
+    shuffles + 2 broadcast builds -> 2 exchanges.
     """
-    sh = shingle_table(df, text_col, id_col, n)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-    sh = sh.join(freq.filter(F.col("freq") <= max_shingle_freq), "shingle")
+    from pyspark.sql import Window
 
-    a = sh.select(
-        F.col("shingle"),
-        F.col(id_col).alias("id_a"),
-        F.col("shingle_count").alias("count_a"),
+    sh = shingle_table(df, text_col, id_col, n)
+    w = Window.partitionBy("shingle")
+    sh2 = sh.withColumn("freq", F.count(F.lit(1)).over(w)).filter(
+        (F.col("freq") <= max_shingle_freq) & (F.col("freq") >= 2)
     )
-    b = sh.select(
-        F.col("shingle"),
-        F.col(id_col).alias("id_b"),
-        F.col("shingle_count").alias("count_b"),
+    grouped = sh2.groupBy("shingle").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col("shingle_count").alias("cnt"),
+                )
+            )
+        ).alias("docs")
     )
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "count_a", "count_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    # ordered pairs (id_a < id_b) inside each group: member i pairs with
+    # every later member of the id-sorted list
+    e = grouped.select(F.posexplode("docs").alias("i", "a"), "docs")
+    pairs = e.select(
+        F.col("a.id").alias("id_a"),
+        F.col("a.cnt").alias("count_a"),
+        F.explode(
+            F.slice(F.col("docs"), F.col("i") + F.lit(2), F.size("docs"))
+        ).alias("b"),
+    ).select(
+        "id_a",
+        "count_a",
+        F.col("b.id").alias("id_b"),
+        F.col("b.cnt").alias("count_b"),
+    )
+    common = pairs.groupBy("id_a", "id_b", "count_a", "count_b").agg(
+        F.count(F.lit(1)).alias("common")
     )
     union = F.col("count_a") + F.col("count_b") - F.col("common")
     jac = F.col("common").cast("double") / union

@@ -66,9 +66,13 @@ def bm25_topk(
 
     Output: (query_id, doc_id, rank, n_terms_matched, score).
     """
+    from ..sources.tables import materialize
+
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
-    base = docs.select(
-        F.col(doc_id_col), toks.alias("__w"), F.size(toks).alias("dl")
+    # tokenized corpus feeds both the global stats aggregate and the
+    # postings explode — materialize so the scan+tokenize runs once (r6)
+    base = materialize(
+        docs.select(F.col(doc_id_col), toks.alias("__w"), F.size(toks).alias("dl"))
     )
     stats = base.agg(
         F.count("*").alias("n_docs"),

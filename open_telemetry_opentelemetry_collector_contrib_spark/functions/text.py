@@ -512,25 +512,35 @@ def bloom_bitset(
             lambda j: F.pmod(h1 + j * (h2.bitwiseOR(F.lit(1))), F.lit(m_bits)),
         )
     ).alias("pos")
-    words = (
+    # Densify by UNIONING an all-zero word table into the single
+    # (word_idx -> bit_or) aggregation, then collect the sorted
+    # (word_idx, w) structs straight into the array. The previous map-based
+    # densify (map_from_entries + per-index element_at) did a LINEAR scan of
+    # the map per index — n_words * set-words interpreted comparisons
+    # (~50M at a 2^18-bit filter); and its two stacked groupBys cost an
+    # extra exchange. The zero rows are n_words constant rows regardless of
+    # corpus size, so this stays a one-exchange, collect-free build.
+    spark = grams.sparkSession
+    zeros = spark.range(n_words).select(
+        F.col("id").alias("word_idx"), F.lit(0).cast("long").alias("bit")
+    )
+    pos_rows = (
         grams.select(pos)
         .withColumn("word_idx", (F.col("pos") / 32).cast("long"))
         .withColumn(
             "bit", F.pow(F.lit(2.0), F.pmod(F.col("pos"), F.lit(32))).cast("long")
         )
+        .select("word_idx", "bit")
+    )
+    dense = (
+        pos_rows.unionByName(zeros)
         .groupBy("word_idx")
         .agg(F.bit_or("bit").alias("w"))
     )
-    return words.groupBy().agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("word_idx"), F.col("w")))
-        ).alias("_m")
-    ).select(
+    return dense.groupBy().agg(
         F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("_m"), i.cast("long")), F.lit(0).cast("long")
-            ),
+            F.array_sort(F.collect_list(F.struct(F.col("word_idx"), F.col("w")))),
+            lambda s: s["w"],
         ).alias("bloom")
     )
 
@@ -583,13 +593,21 @@ def contamination_hits_bloom(
     fully oracle-checkable."""
     from .dedupe import word_shingles
 
+    # no .distinct() on the benchmark grams: bit_or inside bloom_bitset is
+    # idempotent, so duplicate grams set the same bits — identical bitset,
+    # two fewer stages (the exact-join twin contamination_hits DOES need
+    # the distinct, because it counts matches)
     bench_grams = benchmark.select(
         F.explode(word_shingles(F.col(text_col), n)).alias("gram")
-    ).distinct()
+    )
     bitset = bloom_bitset(bench_grams, m_bits=m_bits, k=k)
     grams = docs.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
     )
+    # filter ABOVE the join (not as the join condition): whole-stage codegen
+    # fuses BNLJ+Filter into one stage where the md5 subexpressions are
+    # eliminated; as a join condition the predicate runs on the interpreted
+    # path with every md5 evaluated per occurrence (measured ~2x slower)
     return (
         grams.join(F.broadcast(bitset))
         .filter(bloom_contains(F.col("bloom"), F.col("gram"), m_bits, k))
@@ -738,7 +756,14 @@ def lm_score_docs(
     # transform(sequence, element_at) loop: per-element element_at inside a
     # lambda re-evaluates its surrounding branch and measured ~18x slower
     # (15.5 s vs 0.85 s for 266k bigrams at sf0.1).
-    base = df.select(F.col(doc_id_col), F.col(lang_col), toks.alias("__w"))
+    # The tokenized corpus feeds FIVE consumers (uni, vocab, bi, exploded,
+    # final join) and Spark re-executes the scan+tokenize subtree for each
+    # (no DataFrame CSE) — materialize it once (r6; see tables.materialize).
+    from ..sources.tables import materialize
+
+    base = materialize(
+        df.select(F.col(doc_id_col), F.col(lang_col), toks.alias("__w"))
+    )
     n = F.size("__w")
     bigrams = F.when(
         n >= 2,
@@ -848,13 +873,22 @@ def ccnet_buckets(
     """
     from pyspark.sql import Window
 
+    from ..sources.tables import materialize
+
     scored = lm_score_docs(df, doc_id_col, text_col, lang_col, train_lang)
-    s = scored.select(
-        doc_id_col,
-        lang_col,
-        F.when(
-            F.col("n_bigrams") > 0, F.expr("p_sum_ppb DIV n_bigrams")
-        ).alias("score_ppb"),
+    # the per-doc score frame is doc-count-sized (id, lang, one bigint) and
+    # feeds BOTH the tercile-threshold side and the bucket-apply side —
+    # materialize it so the whole lm_score_docs program runs once, not
+    # twice (r6; the "compute lm_score_docs once to a table" note below,
+    # realized in-plan)
+    s = materialize(
+        scored.select(
+            doc_id_col,
+            lang_col,
+            F.when(
+                F.col("n_bigrams") > 0, F.expr("p_sum_ppb DIV n_bigrams")
+            ).alias("score_ppb"),
+        )
     )
     hist = (
         s.filter(F.col("score_ppb").isNotNull())
@@ -974,12 +1008,25 @@ def dsir_select(
         F.pmod(bucket_hash(F.col("g")), F.lit(buckets)).alias("bucket"),
     )
 
-    # raw + target bucket counts in ONE corpus pass (conditional agg) —
-    # two separate groupBys would each re-scan and re-explode the corpus
-    stats = ex.groupBy("bucket").agg(
-        F.count("*").alias("rc"),
+    # r6: reduce the exploded gram stream to per-(doc, bucket) COUNTS
+    # first — one map-side-combined corpus exchange — and materialize that
+    # small frame (bounded by docs x min(grams/doc, B), far below the gram
+    # count); both distribution fitting and per-doc scoring then derive
+    # from it, so the corpus is exploded and md5-bucketed exactly ONCE
+    # (previously: twice, once per consumer of `ex`).
+    from ..sources.tables import materialize
+
+    dm = materialize(
+        ex.groupBy(doc_id_col, target_col, "bucket").agg(
+            F.count("*").alias("cnt")
+        )
+    )
+
+    # raw + target bucket counts in ONE pass over dm (conditional agg)
+    stats = dm.groupBy("bucket").agg(
+        F.sum("cnt").alias("rc"),
         F.sum(
-            F.when(F.col(target_col) == target_value, 1).otherwise(0)
+            F.when(F.col(target_col) == target_value, F.col("cnt")).otherwise(0)
         ).alias("tc"),
     )
     tot = stats.agg(
@@ -993,9 +1040,12 @@ def dsir_select(
         ).alias("ratio_ppm"),
     )
     sums = (
-        ex.join(F.broadcast(score), "bucket")
+        dm.join(F.broadcast(score), "bucket")
         .groupBy(doc_id_col)
-        .agg(F.count("*").alias("n_grams"), F.sum("ratio_ppm").alias("imp_sum_ppm"))
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("ratio_ppm")).alias("imp_sum_ppm"),
+        )
     )
     return (
         base.select(doc_id_col, target_col)

@@ -261,7 +261,7 @@ FROM events GROUP BY 1, 2
 
 
 def _series(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=True)
     return (
         ev.withColumn("vi", F.floor(F.col("value") * 1000).cast("bigint"))
         .groupBy("user_id", F.col("event_type").alias("metric_name"))
@@ -345,7 +345,7 @@ _SYSLOG_LINE = (
 
 
 def q_syslog_parse(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=True)
     ev.createOrReplaceTempView("events")
     line = _SYSLOG_LINE.replace("{STR}", "STRING")
     df = spark.sql(f"SELECT event_id, {line} AS text FROM events")
@@ -392,7 +392,7 @@ _SYSLOG5424_LINE = (
 
 
 def q_syslog_rfc5424_parse(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=True)
     ev.createOrReplaceTempView("events")
     line = _SYSLOG5424_LINE.replace("{STR}", "STRING").replace(
         "strftime(ts, '%Y-%m-%dT%H:%M:%SZ')", "date_format(ts, 'yyyy-MM-dd\\'T\\'HH:mm:ss\\'Z\\'')"
@@ -430,7 +430,7 @@ def q_schema_translate(spark, sf_dir):
     attribute names translate across schema versions; values untouched."""
     from ..operators import stanza as stanza_ops
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=True)
     out = stanza_ops.schema_rename(
         ev, {"event_type": "event.name", "user_id": "enduser.id"}
     )
@@ -462,7 +462,7 @@ def q_resource_detect(spark, sf_dir):
     'resolved once at startup' semantic."""
     from ..operators import stanza as stanza_ops
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=True)
     out = stanza_ops.detect_resource(ev, detectors=["system"])
     return out.select("event_id", "host_name", "os_type")
 
@@ -488,7 +488,7 @@ FROM parsed
 
 
 def q_container_parse(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=True)
     df = ev.select(
         "event_id",
         F.concat(
@@ -522,7 +522,7 @@ FROM lines
 
 
 def q_uri_parse(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=True)
     df = ev.select(
         "event_id",
         F.concat(
@@ -676,7 +676,7 @@ GROUP BY 1, 2, 3, 4
 def q_range_lookup(spark, sf_dir):
     from ..operators.joins import range_lookup
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
+    ev = load_table(spark, sf_dir, "events", spread=True).withColumn(
         "ip_int", F.pmod(F.col("event_id") * 2654435761, F.lit(100000))
     )
     ranges = spark.range(100).select(
@@ -704,10 +704,10 @@ FROM ev e LEFT JOIN ranges r ON e.ip_int BETWEEN r.start_ip AND r.end_ip
 def q_asof_join(spark, sf_dir):
     from ..operators.joins import asof_join
 
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = load_table(spark, sf_dir, "events", spread=True).select("event_id", "user_id", "ts")
     # deterministic SCD: every 10th event changes its user's "tier"
     dim = (
-        load_table(spark, sf_dir, "events")
+        load_table(spark, sf_dir, "events", spread=True)
         .filter(F.col("event_id") % 10 == 0)
         .select(
             "user_id",
@@ -804,7 +804,7 @@ def q_metric_context_transform(spark, sf_dir):
     from ..operators.transform import StatementGroup, transform
     from ..sources.tables import load_table
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=True)
     # deterministic datapoint frame: counters (click/purchase) are
     # monotonic delta SUMs, everything else a GAUGE
     is_sum = F.col("event_type").isin("click", "purchase")

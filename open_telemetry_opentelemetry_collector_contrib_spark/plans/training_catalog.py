@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import dedupe, multimodal, packing, similarity, text as text_fns
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_scan
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -917,11 +917,14 @@ def q_decontaminate_docs(spark, sf_dir):
     synthetic word-salad corpus shares no natural 8-grams, so a canary
     phrase is planted into the benchmark docs AND every 13th corpus doc —
     the flagged set is deterministic and non-empty at every SF."""
+    # spread only the CORPUS side: the benchmark slice is ~1% of docs and
+    # its bitset/gram build is stage-overhead-bound — an extra repartition
+    # exchange there costs more than the (tiny) map work it parallelizes
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0).withColumn(
         "text", F.concat(F.col("text"), F.lit(" " + _CANARY))
     )
-    corpus = docs.filter(F.col("doc_id") % 97 != 0).withColumn(
+    corpus = spread_scan(docs.filter(F.col("doc_id") % 97 != 0)).withColumn(
         "text",
         F.when(
             F.col("doc_id") % 13 == 5, F.concat(F.col("text"), F.lit(" " + _CANARY))
@@ -967,11 +970,14 @@ def q_decontaminate_bloom(spark, sf_dir):
     engine-portable integer hashes. Output is the exact join's hit set
     plus the documented false-positive over-flags ((1-e^(-kn/m))^k) —
     deterministic, so the DuckDB oracle reproduces every bit."""
+    # spread only the CORPUS side: the benchmark slice is ~1% of docs and
+    # its bitset/gram build is stage-overhead-bound — an extra repartition
+    # exchange there costs more than the (tiny) map work it parallelizes
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0).withColumn(
         "text", F.concat(F.col("text"), F.lit(" " + _CANARY))
     )
-    corpus = docs.filter(F.col("doc_id") % 97 != 0).withColumn(
+    corpus = spread_scan(docs.filter(F.col("doc_id") % 97 != 0)).withColumn(
         "text",
         F.when(
             F.col("doc_id") % 13 == 5, F.concat(F.col("text"), F.lit(" " + _CANARY))
@@ -1989,8 +1995,12 @@ def q_winnow_fingerprints(spark, sf_dir):
     MOSS algorithm): per-doc set of window-local min gram hashes, exploded
     to (doc_id, fingerprint) rows — an equality join on this output finds
     local copy spans >= w+n-1 chars. Selection is a within-row array
-    program (no shuffle); the explode happens only at the output edge."""
-    docs = load_table(spark, sf_dir, "documents")
+    program (no shuffle); the explode happens only at the output edge.
+    The scan is SPREAD (r6): per-doc selection is O(L*w) md5-hashed
+    slice-mins — heavy enough that parallelizing the single-row-group
+    input file dominates the one repartition exchange (3.2 s -> 0.8 s at
+    sf0.1 on local[32])."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         F.explode(
