@@ -732,15 +732,23 @@ def repeated_ngram_spans(
         F.col(id_col), F.posexplode(grams).alias("__p0", "__gram")
     ).select(id_col, (F.col("__p0") + 1).alias("pos"), "__gram")
 
-    dup = (
-        pos_df.groupBy("__gram")
-        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("__gram")
-    )
-    marked = pos_df.join(dup, "__gram").select(id_col, "pos")
-
     from pyspark.sql import Window
+
+    # r6: the duplicated-gram set and the mark-back join used to evaluate
+    # the position table twice (count-distinct agg + join — no DataFrame
+    # CSE) with two gram-keyed exchanges. The distinct-doc count is instead
+    # computed IN the one gram-partitioned window pass: dense_rank over id
+    # within each gram, its partition max = count of distinct docs — same
+    # marked set, one exchange, one evaluation, and still hot-gram-safe
+    # (sort-based windows spill; no per-gram set buffer is ever built).
+    wg = Window.partitionBy("__gram").orderBy(id_col)
+    wga = Window.partitionBy("__gram")
+    marked = (
+        pos_df.withColumn("__dr", F.dense_rank().over(wg))
+        .withColumn("__nd", F.max("__dr").over(wga))
+        .filter(F.col("__nd") >= min_docs)
+        .select(id_col, "pos")
+    )
 
     w = Window.partitionBy(id_col).orderBy("pos")
     prev = F.lag("pos").over(w)

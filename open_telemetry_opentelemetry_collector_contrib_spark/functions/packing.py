@@ -284,7 +284,18 @@ def unimax_mix(
     )
     return (
         docs.join(F.broadcast(alloc), lang_col)
-        .withColumn("full_epochs", F.expr("alloc_tokens DIV n_tok"))
+        # guard the division: a language whose docs are ALL zero-token
+        # (empty/whitespace text) has n_tok = 0, and under Spark 4's
+        # default ANSI mode an unguarded DIV would abort the whole job
+        # (DIVIDE_BY_ZERO). Zero-token docs contribute nothing to the
+        # budget, so their full_epochs is 0; unchanged on any corpus with
+        # nonempty text (the DuckDB twin errors on such input either way).
+        .withColumn(
+            "full_epochs",
+            F.when(
+                F.col("n_tok") > 0, F.expr("alloc_tokens DIV n_tok")
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
         .withColumn(
             "extra",
             (

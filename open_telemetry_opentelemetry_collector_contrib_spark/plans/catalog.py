@@ -1061,7 +1061,10 @@ def q_otlpjson_explode(spark, sf_dir):
     from_json + triple Generate, all Catalyst."""
     from ..operators.otlpjson import explode_otlp_logs
 
-    ev = load_table(spark, sf_dir, "events")
+    # spread (r6): 100k from_json parses of ~700 B payloads are the whole
+    # cost and run pre-shuffle — a single-row-group input file would pin
+    # them to one task (see tables.spread_scan)
+    ev = load_table(spark, sf_dir, "events", spread=True)
     ev.createOrReplaceTempView("events")
     body = _OTLP_BODY_SQL.replace("{STR}", "STRING").replace(
         "{EPOCH}", "unix_timestamp(ts)"

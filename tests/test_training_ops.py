@@ -767,6 +767,24 @@ def test_unimax_all_langs_saturate_when_budget_exceeds_caps(spark):
     assert all(r.alloc_tokens == 20 and r.repeat_cnt == 2 for r in out)
 
 
+def test_unimax_zero_token_language_does_not_abort(spark):
+    """A language whose docs are ALL zero-token (empty/whitespace text) has
+    n_tok = 0; under ANSI mode the unguarded ``alloc_tokens DIV n_tok``
+    used to raise DIVIDE_BY_ZERO and abort the job (r6 guard). Zero-token
+    docs get full_epochs = 0; normal languages are unaffected."""
+    from open_telemetry_opentelemetry_collector_contrib_spark.functions import packing
+
+    ten = " ".join(["w%d" % i for i in range(10)])
+    df = spark.createDataFrame(
+        [(1, ten, "en"), (2, ten, "en"), (3, "   ", "zz"), (4, "", "zz")],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r.doc_id: r for r in packing.unimax_mix(df).collect()}
+    assert out[3].doc_tokens == 0 and out[4].doc_tokens == 0
+    # en rows still allocate normally
+    assert out[1].alloc_tokens > 0 and out[1].repeat_cnt >= 1
+
+
 def test_bpe_pair_counts_first_merge(spark):
     # 'aaab' x3 + 'ab' x1: pairs per 'aaab' = (a a),(a a),(a b),(b </w>);
     # per 'ab' = (a b),(b </w>). Weighted: (a a)=6, (a b)=4, (b </w>)=4.
