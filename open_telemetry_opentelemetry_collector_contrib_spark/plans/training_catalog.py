@@ -66,8 +66,10 @@ def q_doc_repetition(spark, sf_dir):
     duplicate word-5-gram char fraction. All within-row array programs —
     one map stage over the corpus, zero shuffle (functions/text.py
     repetition_signals); the DuckDB twin computes the same quantities
-    relationally (unnest + window counts)."""
-    docs = load_table(spark, sf_dir, "documents")
+    relationally (unnest + window counts). Scan SPREAD (r6): the
+    within-row folds are interpreted HOFs heavy enough that parallelizing
+    the single-row-group file wins over the one repartition exchange."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     out = text_fns.repetition_signals(docs)
     return out.select(
         "doc_id",
