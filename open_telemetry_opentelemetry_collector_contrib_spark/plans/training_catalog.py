@@ -589,14 +589,28 @@ _IVF_NPROBE = 3
 
 
 def _seed_centroids(spark, sf_dir) -> list[list[float]]:
-    emb = load_table(spark, sf_dir, "embeddings")
-    rows = (
-        emb.filter(F.col("vec_id").isin(_IVF_SEED_IDS))
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .orderBy("vec_id")
-        .collect()  # k rows, driver-side by design (quantizer is tiny)
+    """k seed vectors, driver-side by design (the quantizer is tiny).
+
+    r6: read them straight from the parquet file with pyarrow instead of a
+    Spark filter+orderBy+collect — the collect was a full Spark job (~0.4 s
+    of fixed cost) paid at query CONSTRUCTION by both semdedup and
+    ann_ivf_recall. The predicate pushes into the pyarrow scanner (row
+    filtering, not a full-table driver read), and float32 -> float64
+    widening is exact, so the centroid doubles are bit-identical to the
+    old ``cast("array<double>")`` collect."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(_IVF_SEED_IDS))],
     )
-    return [list(r.v) for r in rows]
+    rows = dict(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )
+    return [[float(x) for x in rows[i]] for i in sorted(rows)]
 
 
 def q_ann_ivf_recall(spark, sf_dir):
