@@ -1009,17 +1009,23 @@ def dsir_select(
     )
 
     # r6: reduce the exploded gram stream to per-(doc, bucket) COUNTS
-    # first — one map-side-combined corpus exchange — and materialize that
-    # small frame (bounded by docs x min(grams/doc, B), far below the gram
-    # count); both distribution fitting and per-doc scoring then derive
-    # from it, so the corpus is exploded and md5-bucketed exactly ONCE
-    # (previously: twice, once per consumer of `ex`).
+    # first and materialize that small frame (bounded by
+    # docs x min(grams/doc, B), far below the gram count); both
+    # distribution fitting and per-doc scoring then derive from it, so the
+    # corpus is exploded and md5-bucketed exactly ONCE (previously: twice,
+    # once per consumer of `ex`). The stream is hash-partitioned by
+    # doc_id BEFORE the aggregation: doc_id is a subset of the grouping
+    # keys, so ONE exchange satisfies this aggregate AND — because the
+    # local checkpoint preserves its child's output partitioning — the
+    # downstream per-doc sum, which would otherwise re-shuffle dm
+    # (measured 2.9 s -> 2.0 s at sf0.1; skew is bounded by the max
+    # grams-per-doc, a per-document quantity).
     from ..sources.tables import materialize
 
     dm = materialize(
-        ex.groupBy(doc_id_col, target_col, "bucket").agg(
-            F.count("*").alias("cnt")
-        )
+        ex.repartition(F.col(doc_id_col))
+        .groupBy(doc_id_col, target_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
     )
 
     # raw + target bucket counts in ONE pass over dm (conditional agg)
